@@ -1,0 +1,173 @@
+"""Anytime ACO iteration loop + a reference-style ``ACO`` facade.
+
+The reference's ``ACO.run(T)`` (tsp/aco.py:74-92) — construct, score, track
+best-so-far, update pheromone — becomes one jitted ``lax.scan`` over
+iterations, generic over problem plug-ins. The anytime curve (best-so-far cost
+at cumulative T, the paper's headline metric, BASELINE.md) falls out of the
+scan's per-iteration outputs.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from deepaco_tpu.aco import pheromone as ph
+from deepaco_tpu.aco.engine import RolloutSpec, rollout
+from deepaco_tpu.aco.problems.tsp import tour_cost, tsp_spec
+from deepaco_tpu.core.graph import sparse_distance_matrix
+
+
+class ACOConfig(NamedTuple):
+    """Strategy flags covering the reference constructor defaults
+    (tsp/aco.py:6-49; rcpsp differs: decay=.975, beta=2 — rcpsp/aco.py:104-110)."""
+
+    n_ants: int = 20
+    decay: float = 0.9
+    alpha: float = 1.0
+    beta: float = 1.0
+    elitist: bool = False
+    min_max: bool = False
+    tau_min: float = 0.1
+    q: float = 1.0
+    maximize: bool = False
+    cyclic: bool = True      # deposit includes the closing edge
+    symmetric: bool = True   # deposit both directions
+
+
+class SearchState(NamedTuple):
+    phe: ph.PheromoneState
+    best_cost: jax.Array
+    best_path: jax.Array
+
+
+def init_search(n: int, horizon: int, cfg: ACOConfig,
+                tau: jax.Array | None = None) -> SearchState:
+    phe = ph.init_pheromone(n, cfg.min_max, cfg.tau_min)
+    if tau is not None:
+        phe = phe._replace(tau=tau)
+    worst = -jnp.inf if cfg.maximize else jnp.inf
+    return SearchState(
+        phe=phe,
+        best_cost=jnp.asarray(worst, jnp.float32),
+        best_path=jnp.zeros((horizon + 1,), jnp.int32))
+
+
+def aco_iteration(spec_factory: Callable[[jax.Array], RolloutSpec],
+                  cost_fn: Callable[[jax.Array], jax.Array],
+                  cfg: ACOConfig,
+                  state: SearchState, rng: jax.Array) -> SearchState:
+    """One no-grad ACO iteration (reference tsp/aco.py:75-91)."""
+    spec = spec_factory(state.phe.tau)
+    ro = rollout(spec, rng, alpha=cfg.alpha, beta=cfg.beta, require_prob=False)
+    costs = cost_fn(ro.paths)
+
+    sign = -1.0 if cfg.maximize else 1.0
+    it_best = jnp.argmin(sign * costs)
+    it_cost = costs[it_best]
+    improved = (sign * it_cost) < (sign * state.best_cost)
+    best_cost = jnp.where(improved, it_cost, state.best_cost)
+    best_path = jnp.where(improved, ro.paths[:, it_best], state.best_path)
+
+    phe = state.phe
+    if cfg.min_max:
+        n = phe.tau.shape[0]
+        phe = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(improved, new, old),
+            ph.min_max_on_new_best(phe, best_cost, n), phe)
+
+    update = ph.elitist_update if cfg.elitist else ph.as_update
+    phe = update(phe, ro.paths, costs, decay=cfg.decay, cyclic=cfg.cyclic,
+                 symmetric=cfg.symmetric, q=cfg.q, maximize=cfg.maximize)
+    if cfg.min_max:
+        phe = ph.min_max_clamp(phe, cfg.tau_min)
+
+    return SearchState(phe=phe, best_cost=best_cost, best_path=best_path)
+
+
+def run_anytime(spec_factory, cost_fn, cfg: ACOConfig, state: SearchState,
+                rng: jax.Array, n_iterations: int):
+    """Scan ``n_iterations`` ACO iterations; returns (final state, best-so-far
+    cost after each iteration) — the anytime curve."""
+    keys = jax.random.split(rng, n_iterations)
+
+    def body(state, key):
+        state = aco_iteration(spec_factory, cost_fn, cfg, state, key)
+        return state, state.best_cost
+
+    return jax.lax.scan(body, state, keys)
+
+
+class ACO:
+    """Reference-compatible facade for dense tour problems (tsp/aco.py:4-177).
+
+    Functional under the hood: pheromone/best state lives in a
+    :class:`SearchState` pytree; ``run``/``sample`` are jit-compiled once per
+    shape. A fresh PRNG fold is used per call.
+    """
+
+    def __init__(self, distances, n_ants: int = 20, decay: float = 0.9,
+                 alpha: float = 1.0, beta: float = 1.0, elitist: bool = False,
+                 min_max: bool = False, pheromone=None, heuristic=None,
+                 tau_min: float = 0.1, seed: int = 0,
+                 fixed_start: int | None = None):
+        self.distances = jnp.asarray(distances, jnp.float32)
+        self.n = self.distances.shape[0]
+        self.cfg = ACOConfig(n_ants=n_ants, decay=decay, alpha=alpha,
+                             beta=beta, elitist=elitist, min_max=min_max,
+                             tau_min=tau_min)
+        self.heuristic = (1.0 / self.distances if heuristic is None
+                          else jnp.asarray(heuristic, jnp.float32))
+        self.fixed_start = fixed_start
+        self.state = init_search(self.n, self.n - 1, self.cfg,
+                                 tau=None if pheromone is None
+                                 else jnp.asarray(pheromone, jnp.float32))
+        self._rng = jax.random.PRNGKey(seed)
+        self._it = 0
+
+    # -- reference API ------------------------------------------------------
+    def sparsify(self, k_sparse: int):
+        """Classic-ACO baseline heuristic (reference tsp/aco.py:51-67)."""
+        self.heuristic = 1.0 / sparse_distance_matrix(self.distances, k_sparse)
+
+    def _spec_factory(self, tau):
+        return tsp_spec(tau if tau is not None else self.state.phe.tau,
+                        self.heuristic, self.cfg.n_ants, self.fixed_start)
+
+    def _next_key(self):
+        self._it += 1
+        return jax.random.fold_in(self._rng, self._it)
+
+    def sample(self, require_prob: bool = True):
+        """(costs, log_probs, paths) for one construction sweep (tsp/aco.py:69-72)."""
+        spec = self._spec_factory(None)
+        ro = rollout(spec, self._next_key(), alpha=self.cfg.alpha,
+                     beta=self.cfg.beta, require_prob=require_prob)
+        costs = tour_cost(self.distances, ro.paths)
+        return costs, ro.log_probs, ro.paths
+
+    def run(self, n_iterations: int):
+        """Run T iterations; returns best-so-far cost (tsp/aco.py:74-92)."""
+        runner = functools.partial(
+            _jit_run, self.cfg, n_iterations, self.fixed_start)
+        self.state, _ = runner(self.state, self.heuristic, self.distances,
+                               self._next_key())
+        return self.state.best_cost
+
+    @property
+    def lowest_cost(self):
+        return self.state.best_cost
+
+    @property
+    def shortest_path(self):
+        return self.state.best_path
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _jit_run(cfg: ACOConfig, n_iterations: int, fixed_start,
+             state: SearchState, heuristic, distances, rng):
+    spec_factory = lambda tau: tsp_spec(tau, heuristic, cfg.n_ants, fixed_start)
+    cost_fn = functools.partial(tour_cost, distances)
+    return run_anytime(spec_factory, cost_fn, cfg, state, rng, n_iterations)
