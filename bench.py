@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Headline benchmark: DeepACO TSP500 on one TPU chip vs reference CPU.
+
+Protocol (BASELINE.md): pretrained tsp500 checkpoint, golden test instances,
+n_ants=20, k_sparse=50, anytime ACO. Throughput = constructed tours/sec/chip
+(instances x iterations x ants / wall). The reference baseline is the actual
+reference ACO engine (tsp/aco.py, pure torch) run on CPU with the *same*
+heuristic matrices (our GNN matches its activations — see
+tests/test_gnn_parity.py), i.e. a faithful regeneration of the reference
+pipeline on this host.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": tours/s/chip, "unit": "tours/s",
+   "vs_baseline": speedup_vs_reference_cpu, ...extras}
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_NODE = 500
+K_SPARSE = 50
+N_ANTS = 20
+T_ITER = 10
+B_TPU = 32          # instances swept on-device in one batched program
+B_REF = 4           # instances for the (slow) reference CPU baseline
+CKPT = "/root/reference/pretrained/tsp/tsp500.pt"
+
+
+def tpu_run():
+    import jax
+    import jax.numpy as jnp
+    from deepaco_tpu.aco.runner import ACOConfig
+    from deepaco_tpu.eval.anytime import evaluate_tsp
+    from deepaco_tpu.models.gnn import Net
+    from deepaco_tpu.models.torch_compat import load_reference_checkpoint
+    from deepaco_tpu.utils.datasets import load_tsp_dataset
+
+    coords = load_tsp_dataset(N_NODE, "test")[:B_TPU]
+    model = Net(dual_heads=True)
+    variables = load_reference_checkpoint(CKPT)
+    cfg = ACOConfig(n_ants=N_ANTS)
+
+    def sweep(seed):
+        means, curves = evaluate_tsp(
+            coords, model=model, variables=variables, k_sparse=K_SPARSE,
+            cfg=cfg, t_values=(1, T_ITER), seed=seed)
+        return np.asarray(means), np.asarray(curves)
+
+    sweep(0)  # warmup/compile
+    t0 = time.perf_counter()
+    means, curves = sweep(1)
+    dt = time.perf_counter() - t0
+    tours = B_TPU * T_ITER * N_ANTS
+    return {
+        "tours_per_sec": tours / dt,
+        "cost_t1": float(means[0]),
+        "cost_t10": float(means[1]),
+        # cost on the same subset the reference baseline runs on
+        "cost_t10_ref_subset": float(np.mean(curves[:B_REF, T_ITER - 1])),
+        "wall_s": dt,
+    }
+
+
+def reference_cpu_run(heu_mats, dist_mats):
+    """Run the actual reference ACO engine (tsp/aco.py, torch-only) on CPU."""
+    import torch
+
+    sys.path.insert(0, "/root/reference/tsp")
+    from aco import ACO as RefACO  # noqa: E402
+
+    torch.manual_seed(0)
+    costs, t0 = [], time.perf_counter()
+    for heu, dist in zip(heu_mats, dist_mats):
+        aco = RefACO(distances=torch.as_tensor(dist),
+                     heuristic=torch.as_tensor(heu), n_ants=N_ANTS)
+        costs.append(float(aco.run(T_ITER)))
+    dt = time.perf_counter() - t0
+    tours = len(heu_mats) * T_ITER * N_ANTS
+    return {"tours_per_sec": tours / dt, "cost_t10": float(np.mean(costs)),
+            "wall_s": dt}
+
+
+def main():
+    tpu = tpu_run()
+
+    # build reference-identical heuristics for the baseline instances
+    import jax
+    from deepaco_tpu.aco.runner import ACOConfig  # noqa: F401
+    from deepaco_tpu.core.graph import knn_graph, scatter_to_dense
+    from deepaco_tpu.models.gnn import Net
+    from deepaco_tpu.models.torch_compat import load_reference_checkpoint
+    from deepaco_tpu.utils.datasets import distance_matrix, load_tsp_dataset
+    import jax.numpy as jnp
+
+    coords = load_tsp_dataset(N_NODE, "test")[:B_REF]
+    model = Net(dual_heads=True)
+    variables = load_reference_checkpoint(CKPT)
+    heu_mats, dist_mats = [], []
+    for c in coords:
+        dist = distance_matrix(jnp.asarray(c))
+        g = knn_graph(jnp.asarray(c), dist, K_SPARSE)
+        _, heu = model.apply(variables, g, train=False)
+        heu_mats.append(np.asarray(scatter_to_dense(g, heu)) + 1e-10)
+        dist_mats.append(np.asarray(dist))
+    ref = reference_cpu_run(heu_mats, dist_mats)
+
+    out = {
+        "metric": "tsp500_deepaco_tours_per_sec_per_chip",
+        "value": round(tpu["tours_per_sec"], 2),
+        "unit": "tours/s",
+        "vs_baseline": round(tpu["tours_per_sec"] / ref["tours_per_sec"], 2),
+        "tpu_cost_t10": round(tpu["cost_t10"], 4),
+        "ref_cpu_cost_t10": round(ref["cost_t10"], 4),
+        "cost_gap_pct": round(
+            100.0 * (tpu["cost_t10_ref_subset"] - ref["cost_t10"])
+            / ref["cost_t10"], 3),
+        "tpu_wall_s": round(tpu["wall_s"], 3),
+        "ref_wall_s": round(ref["wall_s"], 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

