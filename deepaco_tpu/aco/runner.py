@@ -35,6 +35,7 @@ class ACOConfig(NamedTuple):
     maximize: bool = False
     cyclic: bool = True      # deposit includes the closing edge
     symmetric: bool = True   # deposit both directions
+    floor: float = 0.0       # pheromone floor (cvrp/aco.py:130 uses 1e-10)
 
 
 class SearchState(NamedTuple):
@@ -83,6 +84,8 @@ def aco_iteration(spec_factory: Callable[[jax.Array], RolloutSpec],
                  symmetric=cfg.symmetric, q=cfg.q, maximize=cfg.maximize)
     if cfg.min_max:
         phe = ph.min_max_clamp(phe, cfg.tau_min)
+    if cfg.floor > 0.0:
+        phe = phe._replace(tau=jnp.maximum(phe.tau, cfg.floor))
 
     return SearchState(phe=phe, best_cost=best_cost, best_path=best_path)
 
