@@ -59,10 +59,18 @@ def init_search(n: int, horizon: int, cfg: ACOConfig,
 def aco_iteration(spec_factory: Callable[[jax.Array], RolloutSpec],
                   cost_fn: Callable[[jax.Array], jax.Array],
                   cfg: ACOConfig,
-                  state: SearchState, rng: jax.Array) -> SearchState:
-    """One no-grad ACO iteration (reference tsp/aco.py:75-91)."""
+                  state: SearchState, rng: jax.Array,
+                  ls_fn: Callable[[jax.Array], jax.Array] | None = None
+                  ) -> SearchState:
+    """One no-grad ACO iteration (reference tsp/aco.py:75-91).
+
+    ``ls_fn(paths) -> paths`` applies local search to every ant's solution
+    before scoring/deposit (reference tsp_nls/aco.py:103-130).
+    """
     spec = spec_factory(state.phe.tau)
     ro = rollout(spec, rng, alpha=cfg.alpha, beta=cfg.beta, require_prob=False)
+    paths = ro.paths if ls_fn is None else ls_fn(ro.paths)
+    ro = ro._replace(paths=paths)
     costs = cost_fn(ro.paths)
 
     sign = -1.0 if cfg.maximize else 1.0
@@ -91,13 +99,13 @@ def aco_iteration(spec_factory: Callable[[jax.Array], RolloutSpec],
 
 
 def run_anytime(spec_factory, cost_fn, cfg: ACOConfig, state: SearchState,
-                rng: jax.Array, n_iterations: int):
+                rng: jax.Array, n_iterations: int, ls_fn=None):
     """Scan ``n_iterations`` ACO iterations; returns (final state, best-so-far
     cost after each iteration) — the anytime curve."""
     keys = jax.random.split(rng, n_iterations)
 
     def body(state, key):
-        state = aco_iteration(spec_factory, cost_fn, cfg, state, key)
+        state = aco_iteration(spec_factory, cost_fn, cfg, state, key, ls_fn)
         return state, state.best_cost
 
     return jax.lax.scan(body, state, keys)
@@ -115,7 +123,9 @@ class ACO:
                  alpha: float = 1.0, beta: float = 1.0, elitist: bool = False,
                  min_max: bool = False, pheromone=None, heuristic=None,
                  tau_min: float = 0.1, seed: int = 0,
-                 fixed_start: int | None = None):
+                 fixed_start: int | None = None,
+                 local_search: str | None = None):
+        assert local_search in (None, "2opt", "nls")
         self.distances = jnp.asarray(distances, jnp.float32)
         self.n = self.distances.shape[0]
         self.cfg = ACOConfig(n_ants=n_ants, decay=decay, alpha=alpha,
@@ -123,7 +133,10 @@ class ACO:
                              tau_min=tau_min)
         self.heuristic = (1.0 / self.distances if heuristic is None
                           else jnp.asarray(heuristic, jnp.float32))
-        self.fixed_start = fixed_start
+        self.local_search_type = local_search
+        # NLS pipelines construct from a fixed start node (tsp_nls/aco.py:191)
+        self.fixed_start = 0 if (local_search and fixed_start is None) \
+            else fixed_start
         self.state = init_search(self.n, self.n - 1, self.cfg,
                                  tau=None if pheromone is None
                                  else jnp.asarray(pheromone, jnp.float32))
@@ -151,10 +164,26 @@ class ACO:
         costs = tour_cost(self.distances, ro.paths)
         return costs, ro.log_probs, ro.paths
 
+    def sample_2opt(self, paths):
+        """Apply this facade's local search to sampled paths → (costs, paths)
+        (reference tsp_nls/aco.py:92-95); training budget n//4 iterations."""
+        from deepaco_tpu.ops.two_opt import batched_nls, batched_two_opt, heuristic_dist
+
+        maxt = max(self.n // 4, 1)
+        tours = paths.T
+        if self.local_search_type == "nls":
+            tours = batched_nls(self.distances, heuristic_dist(self.heuristic),
+                                tours, maxt)
+        else:
+            tours = batched_two_opt(self.distances, tours, maxt)
+        paths = tours.T
+        return tour_cost(self.distances, paths), paths
+
     def run(self, n_iterations: int):
         """Run T iterations; returns best-so-far cost (tsp/aco.py:74-92)."""
         runner = functools.partial(
-            _jit_run, self.cfg, n_iterations, self.fixed_start)
+            _jit_run, self.cfg, n_iterations, self.fixed_start,
+            self.local_search_type)
         self.state, _ = runner(self.state, self.heuristic, self.distances,
                                self._next_key())
         return self.state.best_cost
@@ -168,9 +197,22 @@ class ACO:
         return self.state.best_path
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _jit_run(cfg: ACOConfig, n_iterations: int, fixed_start,
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _jit_run(cfg: ACOConfig, n_iterations: int, fixed_start, ls_type,
              state: SearchState, heuristic, distances, rng):
     spec_factory = lambda tau: tsp_spec(tau, heuristic, cfg.n_ants, fixed_start)
     cost_fn = functools.partial(tour_cost, distances)
-    return run_anytime(spec_factory, cost_fn, cfg, state, rng, n_iterations)
+    ls_fn = None
+    if ls_type is not None:
+        from deepaco_tpu.ops.two_opt import batched_nls, batched_two_opt, heuristic_dist
+
+        # inference LS budget: run to the fixed point (tsp_nls/aco.py:227 uses
+        # 10000; the while_loop exits at convergence anyway)
+        n = distances.shape[0]
+        if ls_type == "nls":
+            hd = heuristic_dist(heuristic)
+            ls_fn = lambda paths: batched_nls(distances, hd, paths.T, 1000).T
+        else:
+            ls_fn = lambda paths: batched_two_opt(distances, paths.T, 1000).T
+    return run_anytime(spec_factory, cost_fn, cfg, state, rng, n_iterations,
+                       ls_fn=ls_fn)

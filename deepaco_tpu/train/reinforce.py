@@ -84,12 +84,27 @@ def reinforce_loss(costs, log_probs, n_ants, *, ls_costs=None, w: float = 0.95):
     return jnp.sum(jax.lax.stop_gradient(adv) * jnp.sum(log_probs, axis=0)) / n_ants
 
 
+def nls_local_search(t_nls: int = 10, t_p: int = 20):
+    """Training-time NLS hook: 2-opt budget n//4 (tsp_nls/aco.py:227),
+    perturbing on the learned-heuristic metric."""
+    from deepaco_tpu.ops.two_opt import batched_nls, heuristic_dist
+
+    def fn(dist, heu, paths):
+        maxt = max(dist.shape[0] // 4, 1)
+        tours = batched_nls(dist, heuristic_dist(heu), paths.T, maxt,
+                            t_nls, t_p)
+        return tour_cost(dist, tours.T)
+
+    return fn
+
+
 def make_tsp_train_step(model, cfg: ProblemConfig,
                         local_search: Callable | None = None,
                         nls_w: float = 0.95):
     """Build the jitted TSP train step: (state, rng) -> (state, mean_cost).
 
-    ``local_search(dist, paths) -> improved_costs`` enables the NLS advantage.
+    ``local_search(dist, heu, paths) -> improved_costs`` enables the
+    NLS-shaped advantage (tsp_nls/train.py:33-35).
     """
     tx = make_optimizer(cfg, cfg.train.epochs * cfg.train.steps_per_epoch)
     a = cfg.aco
@@ -107,7 +122,7 @@ def make_tsp_train_step(model, cfg: ProblemConfig,
         costs = tour_cost(dist, ro.paths)
         ls_costs = None
         if local_search is not None:
-            ls_costs = jax.lax.stop_gradient(local_search(dist, ro.paths))
+            ls_costs = jax.lax.stop_gradient(local_search(dist, heu, ro.paths))
         loss = reinforce_loss(costs, ro.log_probs, a.n_ants,
                               ls_costs=ls_costs, w=nls_w)
         mon = jnp.mean(costs if ls_costs is None else ls_costs)
