@@ -62,13 +62,18 @@ def deposit(tau: jax.Array, paths: jax.Array, amounts: jax.Array, *,
 
 def as_update(state: PheromoneState, paths: jax.Array, costs: jax.Array, *,
               decay: float, cyclic: bool = True, symmetric: bool = True,
-              q: float = 1.0, maximize: bool = False) -> PheromoneState:
+              q: float = 1.0, maximize: bool = False,
+              div_ants: bool = False,
+              cost_offset: float = 0.0) -> PheromoneState:
     """Ant-System: evaporate then all ants deposit.
 
     Minimization deposits ``q/cost`` (tsp/aco.py:109-114); maximization
-    problems deposit ``q*objective`` (op/aco.py:130-145, bpp/aco.py:99-119).
+    problems deposit ``q*objective`` (op/aco.py:130-145); BPP divides the
+    all-ant deposit by n_ants (bpp/aco.py:117).
     """
-    amounts = q * costs if maximize else q / costs
+    amounts = q * costs if maximize else q / (costs + cost_offset)
+    if div_ants:
+        amounts = amounts / costs.shape[0]
     tau = deposit(state.tau * decay, paths, amounts,
                   cyclic=cyclic, symmetric=symmetric)
     return state._replace(tau=tau)
@@ -76,12 +81,14 @@ def as_update(state: PheromoneState, paths: jax.Array, costs: jax.Array, *,
 
 def elitist_update(state: PheromoneState, paths: jax.Array, costs: jax.Array, *,
                    decay: float, cyclic: bool = True, symmetric: bool = True,
-                   q: float = 1.0, maximize: bool = False) -> PheromoneState:
+                   q: float = 1.0, maximize: bool = False,
+                   div_ants: bool = False,
+                   cost_offset: float = 0.0) -> PheromoneState:
     """Elitist: evaporate, only the iteration-best ant deposits (tsp/aco.py:103-107)."""
     best = jnp.argmax(costs) if maximize else jnp.argmin(costs)
     best_path = paths[:, best][:, None]
     best_cost = costs[best][None]
-    amounts = q * best_cost if maximize else q / best_cost
+    amounts = q * best_cost if maximize else q / (best_cost + cost_offset)
     tau = deposit(state.tau * decay, best_path, amounts,
                   cyclic=cyclic, symmetric=symmetric)
     return state._replace(tau=tau)
@@ -95,10 +102,11 @@ def min_max_clamp(state: PheromoneState, tau_min: float) -> PheromoneState:
 
 
 def min_max_on_new_best(state: PheromoneState, best_cost: jax.Array,
-                        n: int) -> PheromoneState:
-    """On a new global best: tau_max = n / best_cost; first time rescales the
-    matrix so its max equals the new tau_max (reference tsp/aco.py:84-88)."""
-    new_max = n / best_cost
+                        scale: float, maximize: bool = False) -> PheromoneState:
+    """On a new global best: tau_max = scale / best_cost (minimization,
+    tsp/aco.py:84-88) or scale * best_obj (maximization, op/aco.py:121-124);
+    the first time, the matrix is rescaled so its max equals tau_max."""
+    new_max = scale * best_cost if maximize else scale / best_cost
     cur_max = jnp.max(state.tau)
     tau = jnp.where(state.tau_max > 0, state.tau, state.tau * new_max / cur_max)
     return PheromoneState(tau=tau, tau_max=new_max.astype(state.tau.dtype))

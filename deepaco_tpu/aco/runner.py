@@ -16,8 +16,11 @@ import jax.numpy as jnp
 
 from deepaco_tpu.aco import pheromone as ph
 from deepaco_tpu.aco.engine import RolloutSpec, rollout
-from deepaco_tpu.aco.problems.tsp import tour_cost, tsp_spec
 from deepaco_tpu.core.graph import sparse_distance_matrix
+
+# NOTE: problem plug-ins (deepaco_tpu.aco.problems.*) import this module for
+# ACOConfig/ProblemACO; the TSP facade below therefore imports tsp_spec and
+# tour_cost lazily to avoid a package-level cycle.
 
 
 class ACOConfig(NamedTuple):
@@ -36,6 +39,17 @@ class ACOConfig(NamedTuple):
     cyclic: bool = True      # deposit includes the closing edge
     symmetric: bool = True   # deposit both directions
     floor: float = 0.0       # pheromone floor (cvrp/aco.py:130 uses 1e-10)
+    # MAX-MIN tau_max policy: dynamic tau_max = mm_scale/best (minimize) or
+    # mm_scale*best (maximize), set on each new global best (tsp/aco.py:84-88,
+    # op/aco.py:121-124); mm_scale=None -> problem size n. Some variants pin a
+    # *static* tau_max instead (smtwtp/aco.py:41 max=1; mkp/aco.py:42 max=20).
+    mm_scale: float | None = None
+    mm_static_max: float | None = None
+    # PH_items: pheromone is a per-item vector deposited on every selected
+    # item instead of an edge matrix (mkp_transformer/aco.py:44,85-99)
+    vector_pheromone: bool = False
+    deposit_div_ants: bool = False  # BPP deposits fit/n_ants (bpp/aco.py:117)
+    cost_offset: float = 0.0        # SMTWTP deposits 1/(cost+1) (smtwtp/aco.py:86-95)
 
 
 class SearchState(NamedTuple):
@@ -49,6 +63,8 @@ def init_search(n: int, horizon: int, cfg: ACOConfig,
     phe = ph.init_pheromone(n, cfg.min_max, cfg.tau_min)
     if tau is not None:
         phe = phe._replace(tau=tau)
+    if cfg.min_max and cfg.mm_static_max is not None:
+        phe = phe._replace(tau_max=jnp.asarray(cfg.mm_static_max, jnp.float32))
     worst = -jnp.inf if cfg.maximize else jnp.inf
     return SearchState(
         phe=phe,
@@ -60,13 +76,19 @@ def aco_iteration(spec_factory: Callable[[jax.Array], RolloutSpec],
                   cost_fn: Callable[[jax.Array], jax.Array],
                   cfg: ACOConfig,
                   state: SearchState, rng: jax.Array,
-                  ls_fn: Callable[[jax.Array], jax.Array] | None = None
-                  ) -> SearchState:
+                  ls_fn: Callable[[jax.Array], jax.Array] | None = None,
+                  q=None, mm_scale=None) -> SearchState:
     """One no-grad ACO iteration (reference tsp/aco.py:75-91).
 
     ``ls_fn(paths) -> paths`` applies local search to every ant's solution
     before scoring/deposit (reference tsp_nls/aco.py:103-130).
+    ``q`` / ``mm_scale`` override the static config values with
+    instance-dependent (traced) scalars — OP/MKP deposit ``Q = 1/sum(prizes)``
+    (op/aco.py:53; mkp/aco.py:54) and OP's tau_max scale is ``n*Q``
+    (op/aco.py:121-124).
     """
+    q = cfg.q if q is None else q
+    mm_scale_v = mm_scale
     spec = spec_factory(state.phe.tau)
     ro = rollout(spec, rng, alpha=cfg.alpha, beta=cfg.beta, require_prob=False)
     paths = ro.paths if ls_fn is None else ls_fn(ro.paths)
@@ -81,15 +103,31 @@ def aco_iteration(spec_factory: Callable[[jax.Array], RolloutSpec],
     best_path = jnp.where(improved, ro.paths[:, it_best], state.best_path)
 
     phe = state.phe
-    if cfg.min_max:
-        n = phe.tau.shape[0]
+    if cfg.min_max and cfg.mm_static_max is None:
+        if mm_scale_v is None:
+            scale = cfg.mm_scale if cfg.mm_scale is not None else phe.tau.shape[0]
+        else:
+            scale = mm_scale_v
         phe = jax.tree_util.tree_map(
             lambda new, old: jnp.where(improved, new, old),
-            ph.min_max_on_new_best(phe, best_cost, n), phe)
+            ph.min_max_on_new_best(phe, best_cost, scale,
+                                   maximize=cfg.maximize), phe)
 
-    update = ph.elitist_update if cfg.elitist else ph.as_update
-    phe = update(phe, ro.paths, costs, decay=cfg.decay, cyclic=cfg.cyclic,
-                 symmetric=cfg.symmetric, q=cfg.q, maximize=cfg.maximize)
+    if cfg.vector_pheromone:
+        amounts = q * costs if cfg.maximize else q / costs
+        if cfg.elitist:
+            amounts = jnp.where(jnp.arange(costs.shape[0]) == it_best,
+                                amounts, 0.0)
+        elif cfg.deposit_div_ants:
+            amounts = amounts / costs.shape[0]
+        phe = phe._replace(
+            tau=ph.vector_deposit(phe.tau * cfg.decay, ro.paths, amounts))
+    else:
+        update = ph.elitist_update if cfg.elitist else ph.as_update
+        phe = update(phe, ro.paths, costs, decay=cfg.decay, cyclic=cfg.cyclic,
+                     symmetric=cfg.symmetric, q=q, maximize=cfg.maximize,
+                     div_ants=cfg.deposit_div_ants,
+                     cost_offset=cfg.cost_offset)
     if cfg.min_max:
         phe = ph.min_max_clamp(phe, cfg.tau_min)
     if cfg.floor > 0.0:
@@ -99,13 +137,15 @@ def aco_iteration(spec_factory: Callable[[jax.Array], RolloutSpec],
 
 
 def run_anytime(spec_factory, cost_fn, cfg: ACOConfig, state: SearchState,
-                rng: jax.Array, n_iterations: int, ls_fn=None):
+                rng: jax.Array, n_iterations: int, ls_fn=None,
+                q=None, mm_scale=None):
     """Scan ``n_iterations`` ACO iterations; returns (final state, best-so-far
     cost after each iteration) — the anytime curve."""
     keys = jax.random.split(rng, n_iterations)
 
     def body(state, key):
-        state = aco_iteration(spec_factory, cost_fn, cfg, state, key, ls_fn)
+        state = aco_iteration(spec_factory, cost_fn, cfg, state, key, ls_fn,
+                              q=q, mm_scale=mm_scale)
         return state, state.best_cost
 
     return jax.lax.scan(body, state, keys)
@@ -149,6 +189,8 @@ class ACO:
         self.heuristic = 1.0 / sparse_distance_matrix(self.distances, k_sparse)
 
     def _spec_factory(self, tau):
+        from deepaco_tpu.aco.problems.tsp import tsp_spec
+
         return tsp_spec(tau if tau is not None else self.state.phe.tau,
                         self.heuristic, self.cfg.n_ants, self.fixed_start)
 
@@ -159,6 +201,8 @@ class ACO:
     def sample(self, require_prob: bool = True):
         """(costs, log_probs, paths) for one construction sweep (tsp/aco.py:69-72)."""
         spec = self._spec_factory(None)
+        from deepaco_tpu.aco.problems.tsp import tour_cost
+
         ro = rollout(spec, self._next_key(), alpha=self.cfg.alpha,
                      beta=self.cfg.beta, require_prob=require_prob)
         costs = tour_cost(self.distances, ro.paths)
@@ -177,6 +221,8 @@ class ACO:
         else:
             tours = batched_two_opt(self.distances, tours, maxt)
         paths = tours.T
+        from deepaco_tpu.aco.problems.tsp import tour_cost
+
         return tour_cost(self.distances, paths), paths
 
     def run(self, n_iterations: int):
@@ -200,6 +246,8 @@ class ACO:
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _jit_run(cfg: ACOConfig, n_iterations: int, fixed_start, ls_type,
              state: SearchState, heuristic, distances, rng):
+    from deepaco_tpu.aco.problems.tsp import tour_cost, tsp_spec
+
     spec_factory = lambda tau: tsp_spec(tau, heuristic, cfg.n_ants, fixed_start)
     cost_fn = functools.partial(tour_cost, distances)
     ls_fn = None
@@ -216,3 +264,89 @@ def _jit_run(cfg: ACOConfig, n_iterations: int, fixed_start, ls_type,
             ls_fn = lambda paths: batched_two_opt(distances, paths.T, 1000).T
     return run_anytime(spec_factory, cost_fn, cfg, state, rng, n_iterations,
                        ls_fn=ls_fn)
+
+
+# --------------------------------------------------------------------------
+# Generic problem facade: subclasses provide pure spec/cost functions over an
+# instance-data pytree; run() is jitted once per (class, cfg, T, shapes).
+# --------------------------------------------------------------------------
+class ProblemACO:
+    """Base for reference-style per-problem facades.
+
+    Subclass contract (all pure, jit-traceable):
+      ``spec_fn(tau, data, cfg, rest...)`` -> RolloutSpec   (classmethod)
+      ``cost_fn(paths, data)``             -> [A] objective (classmethod)
+    plus ``self.data`` (pytree of instance arrays), ``self.horizon``,
+    ``self.n_states`` (pheromone dims), ``self.cfg``.
+    """
+
+    def __init__(self, cfg: ACOConfig, data, n_states: int, horizon: int,
+                 seed: int = 0, tau=None):
+        self.cfg = cfg
+        self.data = data
+        self.horizon = horizon
+        self.state = init_search(n_states, horizon, cfg, tau=tau)
+        if cfg.vector_pheromone:
+            tau0 = jnp.ones((n_states,), jnp.float32)
+            if cfg.min_max:
+                tau0 = tau0 * cfg.tau_min
+            self.state = self.state._replace(
+                phe=self.state.phe._replace(tau=tau if tau is not None else tau0))
+        self._rng = jax.random.PRNGKey(seed)
+        self._it = 0
+
+    @classmethod
+    def spec_fn(cls, tau, data, cfg):
+        raise NotImplementedError
+
+    @classmethod
+    def cost_fn(cls, paths, data):
+        raise NotImplementedError
+
+    @classmethod
+    def extras(cls, data):
+        """Instance-dependent deposit overrides: {'q': ..., 'mm_scale': ...}."""
+        return {}
+
+    def _next_key(self):
+        self._it += 1
+        return jax.random.fold_in(self._rng, self._it)
+
+    def sample(self, require_prob: bool = True):
+        spec = self.spec_fn(self.state.phe.tau, self.data, self.cfg)
+        ro = rollout(spec, self._next_key(), alpha=self.cfg.alpha,
+                     beta=self.cfg.beta, require_prob=require_prob)
+        return self.cost_fn(ro.paths, self.data), ro.log_probs, ro.paths
+
+    def run(self, n_iterations: int):
+        self.state, _ = _problem_jit_run(
+            type(self), self.cfg, n_iterations, self.state, self.data,
+            self._next_key())
+        return self.state.best_cost
+
+    @property
+    def best_cost(self):
+        return self.state.best_cost
+
+    # reference naming aliases
+    @property
+    def lowest_cost(self):
+        return self.state.best_cost
+
+    @property
+    def alltime_best_obj(self):
+        return self.state.best_cost
+
+    @property
+    def best_path(self):
+        return self.state.best_path
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _problem_jit_run(cls, cfg: ACOConfig, n_iterations: int,
+                     state: SearchState, data, rng):
+    spec_factory = lambda tau: cls.spec_fn(tau, data, cfg)
+    cost_fn = lambda paths: cls.cost_fn(paths, data)
+    extras = cls.extras(data)
+    return run_anytime(spec_factory, cost_fn, cfg, state, rng, n_iterations,
+                       **extras)
