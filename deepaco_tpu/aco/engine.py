@@ -47,6 +47,10 @@ class RolloutSpec(NamedTuple):
     prob_rows: Callable[[Any], tuple[jax.Array, jax.Array]]
     mask: Callable[[Any], jax.Array]
     step: Callable[[Any, jax.Array], Any]
+    # Optional full-probability override (already masked, unnormalized
+    # nonneg): used when selection is not the phe^a*heu^b product form —
+    # e.g. RCPSP's balanced direct+summation evaluation (rcpsp/aco.py:183-206).
+    probs_fn: Callable[[Any], jax.Array] | None = None
 
 
 class Rollout(NamedTuple):
@@ -85,9 +89,14 @@ def rollout(spec: RolloutSpec, rng: jax.Array, *, alpha: float = 1.0,
     step_keys = jax.random.split(rng_scan, spec.horizon)
 
     def step_fn(state, key):
-        phe_rows, heu_rows = spec.prob_rows(state)
-        mask = spec.mask(state)
-        logits = masked_logits(phe_rows, heu_rows, mask, alpha, beta)
+        if spec.probs_fn is not None:
+            probs = spec.probs_fn(state)
+            logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-38)),
+                               NEG_INF)
+        else:
+            phe_rows, heu_rows = spec.prob_rows(state)
+            mask = spec.mask(state)
+            logits = masked_logits(phe_rows, heu_rows, mask, alpha, beta)
         gumbel = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
         actions = jnp.argmax(jax.lax.stop_gradient(logits) + gumbel, axis=-1)
         if require_prob:
@@ -111,8 +120,14 @@ def greedy_rollout(spec: RolloutSpec, rng: jax.Array, *, alpha: float = 1.0,
     state, start = spec.init(rng_init)
 
     def step_fn(state, _):
-        phe_rows, heu_rows = spec.prob_rows(state)
-        logits = masked_logits(phe_rows, heu_rows, spec.mask(state), alpha, beta)
+        if spec.probs_fn is not None:
+            probs = spec.probs_fn(state)
+            logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-38)),
+                               NEG_INF)
+        else:
+            phe_rows, heu_rows = spec.prob_rows(state)
+            logits = masked_logits(phe_rows, heu_rows, spec.mask(state),
+                                   alpha, beta)
         actions = jnp.argmax(logits, axis=-1)
         state = spec.step(state, actions)
         return state, actions.astype(jnp.int32)

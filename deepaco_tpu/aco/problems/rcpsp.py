@@ -1,0 +1,247 @@
+"""RCPSP plug-in: activity-list construction + on-device SSGS decoding.
+
+Reference semantics (rcpsp/aco.py:96-256, Merkle et al. ACO-RCPSP):
+* construction: start at activity 0; at each step the mask is
+  ``unvisited AND indegree==0`` (topological); selection uses either direct
+  evaluation ``(phe^a * heu^b)[prev]`` or the gamma-discounted *summation*
+  evaluation over the visited prefix, blended by ``c`` (rcpsp/aco.py:183-206).
+  The reference re-reduces the whole prefix every step (O(k) gathers); here
+  the discounted sum is a running state ``S <- gamma*S + phe[action]`` —
+  same fixed point, O(1) per step.
+* decode: SSGS — serial schedule generation. The reference simulates resource
+  event queues in Python per ant (rcpsp/aco.py:42-63, rcpsp_inst.py:57-91);
+  here SSGS is a ``lax.scan`` over the activity list with a fixed-size
+  ``[T_max, m]`` resource-usage timeline: the earliest feasible start is the
+  first window of length ``duration`` with capacity for the activity's
+  requirements (the classical SSGS definition; every schedule it emits
+  satisfies ``check_schedule``).
+* pheromone: decay, then the best-so-far route always deposits, plus the
+  iteration-best (elitist) or all ants (rcpsp/aco.py:238-256); MAX-MIN with
+  tau_max = Q*n/best_cost set on improvement (rcpsp/aco.py:235-236).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from deepaco_tpu.aco.engine import RolloutSpec, rollout
+from deepaco_tpu.core.rcpsp import RCPSPData, default_rcpsp_heuristic
+
+
+class RCPSPConfig(NamedTuple):
+    """Reference defaults: n_ants=5, decay=.975, alpha=1, beta=2, gamma=0,
+    c=0.6, Q=1, tau_min=0.1 (rcpsp/aco.py:100-112)."""
+
+    n_ants: int = 5
+    decay: float = 0.975
+    alpha: float = 1.0
+    beta: float = 2.0
+    gamma: float = 0.0
+    c: float = 0.6
+    q: float = 1.0
+    tau_min: float = 0.1
+    elitist: bool = False
+    min_max: bool = False
+
+    @property
+    def direct_only(self) -> bool:
+        # reference: direct evaluation when gamma < 0.05 or c == 1
+        return self.gamma < 0.05 or self.c == 1.0
+
+
+def rcpsp_spec(phe: jax.Array, heu: jax.Array, data: RCPSPData,
+               cfg: RCPSPConfig) -> RolloutSpec:
+    n = phe.shape[0]
+    ants = jnp.arange(cfg.n_ants)
+    probmat = (phe ** cfg.alpha) * (heu ** cfg.beta)
+
+    def init(rng):
+        start = jnp.zeros((cfg.n_ants,), jnp.int32)
+        visited = jnp.zeros((cfg.n_ants, n), bool).at[:, 0].set(True)
+        indeg = jnp.broadcast_to(jnp.sum(data.adj, axis=0)[None, :],
+                                 (cfg.n_ants, n)).astype(jnp.int32)
+        indeg = indeg - data.adj[0][None, :]
+        s_sum = jnp.broadcast_to(phe[0][None, :], (cfg.n_ants, n))
+        return (start, visited, indeg, s_sum), start
+
+    def mask_fn(state):
+        _, visited, indeg, _ = state
+        return ((~visited) & (indeg == 0)).astype(phe.dtype)
+
+    def prob_rows(state):
+        cur = state[0]
+        return phe[cur], heu[cur]
+
+    def probs_fn(state):
+        cur, visited, indeg, s_sum = state
+        mask = mask_fn(state)
+        direct = probmat[cur] * mask
+        if cfg.direct_only:
+            return direct
+        summation = ((s_sum * mask) ** cfg.alpha) * (heu[cur] ** cfg.beta)
+        if cfg.c == 0.0:
+            return summation
+        return cfg.c * direct + (1.0 - cfg.c) * summation
+
+    def step(state, actions):
+        _, visited, indeg, s_sum = state
+        visited = visited.at[ants, actions].set(True)
+        indeg = indeg - data.adj[actions]
+        s_sum = cfg.gamma * s_sum + phe[actions]
+        return (actions, visited, indeg, s_sum)
+
+    return RolloutSpec(horizon=n - 1, init=init, prob_rows=prob_rows,
+                       mask=mask_fn, step=step, probs_fn=probs_fn)
+
+
+def ssgs_schedule(data: RCPSPData, sequence: jax.Array) -> jax.Array:
+    """Serial schedule generation for one topological activity list ``[n]``.
+
+    Returns start times ``[n]``. Feasible by construction; horizon bound
+    ``t_max = sum(duration)`` always admits the serial fallback.
+    """
+    n, m = data.resources.shape
+    T = data.t_max
+    t_starts = jnp.arange(T + 1)      # candidate start times 0..T inclusive
+    t_slots = jnp.arange(T)           # usage timeline slots
+
+    def sched_one(carry, j):
+        usage, end_time, start = carry
+        dur = data.duration[j]
+        req = data.resources[j]
+        est = jnp.maximum(
+            jnp.max(jnp.where(data.adj[:, j] > 0, end_time, 0)),
+            data.earliest_start[j])
+        viol = jnp.any(usage + req[None, :] > data.capacity[None, :], axis=1)
+        csum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                jnp.cumsum(viol.astype(jnp.int32))])
+        end_idx = jnp.minimum(t_starts + dur, T)
+        win_bad = (csum[end_idx] - csum[jnp.minimum(t_starts, T)]) > 0
+        ok = (~win_bad) & (t_starts >= est) & (t_starts + dur <= T)
+        t_star = jnp.argmax(ok).astype(jnp.int32)
+        in_win = (t_slots >= t_star) & (t_slots < t_star + dur)
+        usage = usage + in_win[:, None].astype(usage.dtype) * req[None, :]
+        end_time = end_time.at[j].set(t_star + dur)
+        start = start.at[j].set(t_star)
+        return (usage, end_time, start), None
+
+    init = (jnp.zeros((T, m), jnp.int32), jnp.zeros((n,), jnp.int32),
+            jnp.zeros((n,), jnp.int32))
+    (_, _, start), _ = jax.lax.scan(sched_one, init, sequence)
+    return start
+
+
+def makespans(data: RCPSPData, paths: jax.Array) -> jax.Array:
+    """Decode all ants' activity lists → makespan (start of final dummy).
+
+    ``paths`` is ``[n, A]`` (reference update_cost, rcpsp/aco.py:221-236)."""
+    starts = jax.vmap(lambda seq: ssgs_schedule(data, seq))(paths.T)
+    return starts[:, -1].astype(jnp.float32)
+
+
+class RCPSPSearchState(NamedTuple):
+    tau: jax.Array
+    tau_max: jax.Array
+    best_cost: jax.Array
+    best_path: jax.Array
+
+
+def rcpsp_iteration(data: RCPSPData, heu: jax.Array, cfg: RCPSPConfig,
+                    state: RCPSPSearchState, rng: jax.Array) -> RCPSPSearchState:
+    """One iteration with the reference's best-so-far deposit scheme
+    (rcpsp/aco.py:238-256)."""
+    spec = rcpsp_spec(state.tau, heu, data, cfg)
+    ro = rollout(spec, rng, require_prob=False)
+    costs = makespans(data, ro.paths)
+
+    it_best = jnp.argmin(costs)
+    it_cost = costs[it_best]
+    improved = it_cost < state.best_cost
+    best_cost = jnp.where(improved, it_cost, state.best_cost)
+    best_path = jnp.where(improved, ro.paths[:, it_best], state.best_path)
+    tau_max = jnp.where(improved, cfg.q * data.n / best_cost, state.tau_max)
+
+    tau = state.tau * cfg.decay
+    u, v = best_path[:-1], best_path[1:]
+    tau = tau.at[u, v].add(cfg.q / best_cost)
+    if cfg.elitist:
+        bp = ro.paths[:, it_best]
+        tau = tau.at[bp[:-1], bp[1:]].add(cfg.q / it_cost)
+    else:
+        u = ro.paths.T[:, :-1]
+        v = ro.paths.T[:, 1:]
+        amounts = jnp.broadcast_to((cfg.q / costs)[:, None], u.shape)
+        tau = tau.at[u, v].add(amounts)
+    if cfg.min_max:
+        tau = jnp.minimum(tau, tau_max)
+        tau = jnp.maximum(tau, cfg.tau_min)
+
+    return RCPSPSearchState(tau=tau, tau_max=tau_max, best_cost=best_cost,
+                            best_path=best_path)
+
+
+class RCPSPACO:
+    """Facade mirroring reference ACO_RCPSP (rcpsp/aco.py:96-256)."""
+
+    def __init__(self, data: RCPSPData, n_ants: int = 5, decay: float = 0.975,
+                 alpha: float = 1.0, beta: float = 2.0, gamma: float = 0.0,
+                 c: float = 0.6, q: float = 1.0, elitist: bool = False,
+                 min_max: bool = False, heuristic=None, pheromone=None,
+                 tau_min: float = 0.1, seed: int = 0):
+        self.data = data
+        self.cfg = RCPSPConfig(n_ants=n_ants, decay=decay, alpha=alpha,
+                               beta=beta, gamma=gamma, c=c, q=q,
+                               tau_min=tau_min, elitist=elitist,
+                               min_max=min_max)
+        self.heuristic = (default_rcpsp_heuristic(data) if heuristic is None
+                          else jnp.asarray(heuristic, jnp.float32))
+        tau = (jnp.ones((data.n, data.n), jnp.float32) if pheromone is None
+               else jnp.asarray(pheromone, jnp.float32))
+        if min_max and pheromone is None:
+            tau = tau * tau_min
+        self.state = RCPSPSearchState(
+            tau=tau, tau_max=jnp.asarray(jnp.inf, jnp.float32),
+            best_cost=jnp.asarray(jnp.inf, jnp.float32),
+            best_path=jnp.zeros((data.n,), jnp.int32))
+        self._rng = jax.random.PRNGKey(seed)
+        self._it = 0
+
+    def _next_key(self):
+        self._it += 1
+        return jax.random.fold_in(self._rng, self._it)
+
+    def sample(self):
+        """(costs, log_probs, paths) — training sweep (rcpsp/aco.py:215-219)."""
+        spec = rcpsp_spec(self.state.tau, self.heuristic, self.data, self.cfg)
+        ro = rollout(spec, self._next_key(), require_prob=True)
+        return makespans(self.data, ro.paths), ro.log_probs, ro.paths
+
+    def run(self, n_iterations: int):
+        self.state, _ = _rcpsp_jit_run(
+            self.cfg, n_iterations, self.state, self.data, self.heuristic,
+            self._next_key())
+        return self.state.best_cost
+
+    @property
+    def best_solution(self):
+        from deepaco_tpu.core.rcpsp import check_schedule
+        import numpy as np
+
+        route = jnp.asarray(self.state.best_path)
+        schedule = ssgs_schedule(self.data, route)
+        return np.asarray(route), np.asarray(schedule), float(self.state.best_cost)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _rcpsp_jit_run(cfg: RCPSPConfig, n_iterations: int,
+                   state: RCPSPSearchState, data: RCPSPData, heu, rng):
+    keys = jax.random.split(rng, n_iterations)
+
+    def body(state, key):
+        state = rcpsp_iteration(data, heu, cfg, state, key)
+        return state, state.best_cost
+
+    return jax.lax.scan(body, state, keys)
