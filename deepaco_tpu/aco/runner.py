@@ -87,20 +87,28 @@ def aco_iteration(spec_factory: Callable[[jax.Array], RolloutSpec],
     (op/aco.py:53; mkp/aco.py:54) and OP's tau_max scale is ``n*Q``
     (op/aco.py:121-124).
     """
-    q = cfg.q if q is None else q
-    mm_scale_v = mm_scale
     spec = spec_factory(state.phe.tau)
     ro = rollout(spec, rng, alpha=cfg.alpha, beta=cfg.beta, require_prob=False)
     paths = ro.paths if ls_fn is None else ls_fn(ro.paths)
-    ro = ro._replace(paths=paths)
-    costs = cost_fn(ro.paths)
+    return search_update(cfg, state, paths, cost_fn(paths), q=q,
+                         mm_scale=mm_scale)
 
+
+def search_update(cfg: ACOConfig, state: SearchState, paths, costs,
+                  q=None, mm_scale=None) -> SearchState:
+    """Best-so-far tracking + pheromone update for already-scored solutions.
+
+    Split out of :func:`aco_iteration` so host-side local search (e.g. the
+    native CVRP SWAP* engine) can run between construction and update,
+    mirroring the reference run loop (cvrp_nls/aco.py:135-165)."""
+    q = cfg.q if q is None else q
+    mm_scale_v = mm_scale
     sign = -1.0 if cfg.maximize else 1.0
     it_best = jnp.argmin(sign * costs)
     it_cost = costs[it_best]
     improved = (sign * it_cost) < (sign * state.best_cost)
     best_cost = jnp.where(improved, it_cost, state.best_cost)
-    best_path = jnp.where(improved, ro.paths[:, it_best], state.best_path)
+    best_path = jnp.where(improved, paths[:, it_best], state.best_path)
 
     phe = state.phe
     if cfg.min_max and cfg.mm_static_max is None:
@@ -121,10 +129,10 @@ def aco_iteration(spec_factory: Callable[[jax.Array], RolloutSpec],
         elif cfg.deposit_div_ants:
             amounts = amounts / costs.shape[0]
         phe = phe._replace(
-            tau=ph.vector_deposit(phe.tau * cfg.decay, ro.paths, amounts))
+            tau=ph.vector_deposit(phe.tau * cfg.decay, paths, amounts))
     else:
         update = ph.elitist_update if cfg.elitist else ph.as_update
-        phe = update(phe, ro.paths, costs, decay=cfg.decay, cyclic=cfg.cyclic,
+        phe = update(phe, paths, costs, decay=cfg.decay, cyclic=cfg.cyclic,
                      symmetric=cfg.symmetric, q=q, maximize=cfg.maximize,
                      div_ants=cfg.deposit_div_ants,
                      cost_offset=cfg.cost_offset)

@@ -1,0 +1,468 @@
+// CVRP local search engine (host-side native tier of deepaco_tpu).
+//
+// A from-scratch implementation of the classical route-improvement moves the
+// reference obtains from its vendored HGS-CVRP library (reference
+// cvrp_nls/HGS-CVRP-main/Program/LocalSearch.cpp — relocate/swap/2-opt/2-opt*
+// "RI" moves plus Vidal's SWAP* neighborhood): this file shares no code with
+// it; the SWAP* algorithm follows the published description (Vidal 2022,
+// "Hybrid genetic search for the CVRP", SWAP* = exchange two customers
+// between routes, each re-inserted at its best position) with a 3-best
+// insertion-position memo per (customer, route) and centroid-circle route
+// pair pruning. Routes are exchanged with Python IN MEMORY via the
+// extern "C" API below — no /tmp files (the reference's file handshake,
+// cvrp_nls/swapstar.py:240-269, is a documented fragility; SURVEY §5).
+//
+// All moves are capacity-feasible: the engine never leaves feasibility, so
+// every returned solution passes the validators (cvrp_nls/test.py:20-37).
+//
+// Build: g++ -O3 -march=native -shared -fPIC cvrp_ls.cpp -o libcvrpls.so
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Problem {
+  int n;                    // nodes incl. depot 0
+  const double* D;          // [n*n] distance matrix
+  const double* dem;        // [n] demands (dem[0] == 0)
+  double cap;
+  int k_granular;
+  std::vector<std::vector<int>> nbr;  // k nearest customers per customer
+
+  double d(int i, int j) const { return D[(size_t)i * n + j]; }
+
+  void build_neighbors() {
+    nbr.assign(n, {});
+    std::vector<std::pair<double, int>> cand;
+    cand.reserve(n);
+    for (int i = 1; i < n; ++i) {
+      cand.clear();
+      for (int j = 1; j < n; ++j)
+        if (j != i) cand.push_back({d(i, j), j});
+      int k = std::min<int>(k_granular, (int)cand.size());
+      std::partial_sort(cand.begin(), cand.begin() + k, cand.end());
+      nbr[i].reserve(k);
+      for (int t = 0; t < k; ++t) nbr[i].push_back(cand[t].second);
+    }
+  }
+};
+
+struct Solution {
+  std::vector<std::vector<int>> routes;  // customers only (no depot)
+  std::vector<double> load;
+  std::vector<int> route_of;             // node -> route index
+  std::vector<int> pos_of;               // node -> position in route
+  std::vector<uint32_t> version;         // bump on route change (memo keys)
+
+  void index_route(int r) {
+    for (int p = 0; p < (int)routes[r].size(); ++p) {
+      route_of[routes[r][p]] = r;
+      pos_of[routes[r][p]] = p;
+    }
+  }
+
+  void rebuild(const Problem& P) {
+    route_of.assign(P.n, -1);
+    pos_of.assign(P.n, -1);
+    load.assign(routes.size(), 0.0);
+    version.assign(routes.size(), 1);
+    for (int r = 0; r < (int)routes.size(); ++r) {
+      for (int c : routes[r]) load[r] += P.dem[c];
+      index_route(r);
+    }
+  }
+
+  void touch(int r) { ++version[r]; }
+};
+
+// cost of route arc sequence 0 -> c1 -> ... -> ck -> 0
+double route_cost(const Problem& P, const std::vector<int>& r) {
+  if (r.empty()) return 0.0;
+  double c = P.d(0, r.front()) + P.d(r.back(), 0);
+  for (size_t i = 0; i + 1 < r.size(); ++i) c += P.d(r[i], r[i + 1]);
+  return c;
+}
+
+inline int pred_node(const std::vector<int>& r, int pos) {
+  return pos == 0 ? 0 : r[pos - 1];
+}
+inline int succ_node(const std::vector<int>& r, int pos) {
+  return pos + 1 == (int)r.size() ? 0 : r[pos + 1];
+}
+
+// gain of removing customer at pos from route (negative delta = improvement)
+inline double removal_delta(const Problem& P, const std::vector<int>& r,
+                            int pos) {
+  int u = r[pos], p = pred_node(r, pos), s = succ_node(r, pos);
+  return P.d(p, s) - P.d(p, u) - P.d(u, s);
+}
+
+// delta of inserting u between positions (pos-1, pos) of route r
+inline double insertion_delta(const Problem& P, const std::vector<int>& r,
+                              int pos, int u) {
+  int p = pos == 0 ? 0 : r[pos - 1];
+  int s = pos == (int)r.size() ? 0 : r[pos];
+  return P.d(p, u) + P.d(u, s) - P.d(p, s);
+}
+
+// ---------------------------------------------------------------------------
+// RI moves (granular first-improvement sweep)
+// ---------------------------------------------------------------------------
+bool relocate_step(const Problem& P, Solution& S) {
+  for (int u = 1; u < P.n; ++u) {
+    int ru = S.route_of[u], pu = S.pos_of[u];
+    double rem = removal_delta(P, S.routes[ru], pu);
+    for (int v : P.nbr[u]) {
+      int rv = S.route_of[v], pv = S.pos_of[v];
+      if (rv == ru && (pv == pu - 1 || pv == pu)) continue;
+      if (rv != ru && S.load[rv] + P.dem[u] > P.cap) continue;
+      // insert u right after v
+      int ipos = pv + 1;
+      std::vector<int>& RV = S.routes[rv];
+      double ins;
+      if (rv == ru) {
+        // simulate on a copy-free basis: compute with u removed
+        // (only adjacency terms matter; u adjacent cases were skipped)
+        int p = v, s = succ_node(RV, pv);
+        if (s == u) s = succ_node(RV, pu);  // can't happen (skipped)
+        ins = P.d(p, u) + P.d(u, s) - P.d(p, s);
+      } else {
+        ins = insertion_delta(P, RV, ipos, u);
+      }
+      if (rem + ins < -1e-9) {
+        std::vector<int>& RU = S.routes[ru];
+        RU.erase(RU.begin() + pu);
+        int target = ipos;
+        if (rv == ru && pu < ipos) --target;
+        S.routes[rv].insert(S.routes[rv].begin() + target, u);
+        if (rv != ru) {
+          S.load[ru] -= P.dem[u];
+          S.load[rv] += P.dem[u];
+        }
+        S.index_route(ru);
+        if (rv != ru) S.index_route(rv);
+        S.touch(ru); if (rv != ru) S.touch(rv);
+        return true;
+      }
+    }
+  }
+  return false;
+}
+
+bool swap_step(const Problem& P, Solution& S) {
+  for (int u = 1; u < P.n; ++u) {
+    int ru = S.route_of[u], pu = S.pos_of[u];
+    for (int v : P.nbr[u]) {
+      if (v <= u) continue;
+      int rv = S.route_of[v], pv = S.pos_of[v];
+      if (ru == rv && std::abs(pu - pv) == 1) {
+        // adjacent intra-route swap
+        std::vector<int>& R = S.routes[ru];
+        int a = std::min(pu, pv), b = a + 1;
+        int p = pred_node(R, a), s = succ_node(R, b);
+        double delta = P.d(p, R[b]) + P.d(R[a], s) - P.d(p, R[a]) -
+                       P.d(R[b], s);
+        if (delta < -1e-9) {
+          std::swap(R[a], R[b]);
+          S.index_route(ru); S.touch(ru);
+          return true;
+        }
+        continue;
+      }
+      if (ru != rv) {
+        if (S.load[ru] - P.dem[u] + P.dem[v] > P.cap) continue;
+        if (S.load[rv] - P.dem[v] + P.dem[u] > P.cap) continue;
+      }
+      std::vector<int>& RU = S.routes[ru];
+      std::vector<int>& RV = S.routes[rv];
+      int pu_p = pred_node(RU, pu), pu_s = succ_node(RU, pu);
+      int pv_p = pred_node(RV, pv), pv_s = succ_node(RV, pv);
+      double delta = P.d(pu_p, v) + P.d(v, pu_s) + P.d(pv_p, u) +
+                     P.d(u, pv_s) - P.d(pu_p, u) - P.d(u, pu_s) -
+                     P.d(pv_p, v) - P.d(v, pv_s);
+      if (delta < -1e-9) {
+        RU[pu] = v; RV[pv] = u;
+        if (ru != rv) {
+          S.load[ru] += P.dem[v] - P.dem[u];
+          S.load[rv] += P.dem[u] - P.dem[v];
+        }
+        S.route_of[u] = rv; S.pos_of[u] = pv;
+        S.route_of[v] = ru; S.pos_of[v] = pu;
+        S.touch(ru); if (ru != rv) S.touch(rv);
+        return true;
+      }
+    }
+  }
+  return false;
+}
+
+bool two_opt_intra_step(const Problem& P, Solution& S) {
+  for (int r = 0; r < (int)S.routes.size(); ++r) {
+    std::vector<int>& R = S.routes[r];
+    int m = (int)R.size();
+    for (int i = 0; i < m - 1; ++i) {
+      int a = pred_node(R, i);
+      for (int j = i + 1; j < m; ++j) {
+        int b = succ_node(R, j);
+        double delta = P.d(a, R[j]) + P.d(R[i], b) - P.d(a, R[i]) -
+                       P.d(R[j], b);
+        if (delta < -1e-9) {
+          std::reverse(R.begin() + i, R.begin() + j + 1);
+          S.index_route(r); S.touch(r);
+          return true;
+        }
+      }
+    }
+  }
+  return false;
+}
+
+// 2-opt*: exchange tails between two routes (u..end of ru with v..end of rv)
+bool two_opt_star_step(const Problem& P, Solution& S) {
+  int nr = (int)S.routes.size();
+  // prefix loads
+  for (int u = 1; u < P.n; ++u) {
+    int ru = S.route_of[u], pu = S.pos_of[u];
+    for (int v : P.nbr[u]) {
+      int rv = S.route_of[v], pv = S.pos_of[v];
+      if (rv == ru) continue;
+      std::vector<int>& RU = S.routes[ru];
+      std::vector<int>& RV = S.routes[rv];
+      // new ru = RU[0..pu] + RV[pv+1..]; new rv = RV[0..pv] + RU[pu+1..]
+      double head_u = 0, tail_u = 0, head_v = 0, tail_v = 0;
+      for (int t = 0; t <= pu; ++t) head_u += P.dem[RU[t]];
+      tail_u = S.load[ru] - head_u;
+      for (int t = 0; t <= pv; ++t) head_v += P.dem[RV[t]];
+      tail_v = S.load[rv] - head_v;
+      if (head_u + tail_v > P.cap || head_v + tail_u > P.cap) continue;
+      int su = succ_node(RU, pu), sv = succ_node(RV, pv);
+      double delta = P.d(u, sv) + P.d(v, su) - P.d(u, su) - P.d(v, sv);
+      if (delta < -1e-9) {
+        std::vector<int> new_u(RU.begin(), RU.begin() + pu + 1);
+        new_u.insert(new_u.end(), RV.begin() + pv + 1, RV.end());
+        std::vector<int> new_v(RV.begin(), RV.begin() + pv + 1);
+        new_v.insert(new_v.end(), RU.begin() + pu + 1, RU.end());
+        RU.swap(new_u); RV.swap(new_v);
+        S.load[ru] = head_u + tail_v;
+        S.load[rv] = head_v + tail_u;
+        S.index_route(ru); S.index_route(rv);
+        S.touch(ru); S.touch(rv);
+        return true;
+      }
+    }
+  }
+  (void)nr;
+  return false;
+}
+
+// ---------------------------------------------------------------------------
+// SWAP* (Vidal): exchange u (route r1) and v (route r2), each re-inserted at
+// its best position in the other route. 3-best insertion memo per (node,
+// route) keyed by route version.
+// ---------------------------------------------------------------------------
+struct ThreeBest {
+  uint32_t version = 0;
+  double delta[3] = {1e30, 1e30, 1e30};
+  int pos[3] = {-1, -1, -1};
+};
+
+struct SwapStarEngine {
+  const Problem& P;
+  Solution& S;
+  std::vector<ThreeBest> memo;  // [n * max_routes]
+  int max_routes;
+
+  SwapStarEngine(const Problem& p, Solution& s)
+      : P(p), S(s), max_routes((int)s.routes.size() + 1) {
+    memo.assign((size_t)P.n * max_routes, ThreeBest{});
+  }
+
+  ThreeBest& best3(int u, int r) {
+    ThreeBest& tb = memo[(size_t)u * max_routes + r];
+    if (tb.version != S.version[r]) {
+      tb = ThreeBest{};
+      tb.version = S.version[r];
+      const std::vector<int>& R = S.routes[r];
+      for (int pos = 0; pos <= (int)R.size(); ++pos) {
+        double dlt = insertion_delta(P, R, pos, u);
+        if (dlt < tb.delta[2]) {
+          tb.delta[2] = dlt; tb.pos[2] = pos;
+          if (tb.delta[2] < tb.delta[1]) {
+            std::swap(tb.delta[1], tb.delta[2]);
+            std::swap(tb.pos[1], tb.pos[2]);
+          }
+          if (tb.delta[1] < tb.delta[0]) {
+            std::swap(tb.delta[0], tb.delta[1]);
+            std::swap(tb.pos[0], tb.pos[1]);
+          }
+        }
+      }
+    }
+    return tb;
+  }
+
+  // Best insertion of u into route r given that the customer at v_pos will
+  // be removed. Returns the POST-REMOVAL insertion index in *out_pos.
+  // Candidates: the 3-best memo positions not adjacent to v (their neighbor
+  // terms are unchanged by the removal), plus inserting u exactly in v's
+  // place (Vidal's "in place of v" case).
+  double best_insert_avoiding(int u, int r, int v_pos, int* out_pos) {
+    const std::vector<int>& R = S.routes[r];
+    double best = 1e30; int bpos = -1;
+    ThreeBest& tb = best3(u, r);
+    for (int t = 0; t < 3; ++t) {
+      if (tb.pos[t] < 0) break;
+      if (tb.pos[t] == v_pos || tb.pos[t] == v_pos + 1) continue;
+      if (tb.delta[t] < best) {
+        best = tb.delta[t];
+        bpos = tb.pos[t] - (tb.pos[t] > v_pos ? 1 : 0);
+      }
+      break;  // memo is sorted; first non-adjacent candidate is the best
+    }
+    {
+      int p = pred_node(R, v_pos), s = succ_node(R, v_pos);
+      double in_place = P.d(p, u) + P.d(u, s) - P.d(p, s);
+      if (in_place < best) { best = in_place; bpos = v_pos; }
+    }
+    if (bpos < 0) {
+      // all three memo slots were adjacent to v: exact scan fallback
+      for (int pos = 0; pos <= (int)R.size(); ++pos) {
+        if (pos == v_pos || pos == v_pos + 1) continue;
+        double dlt = insertion_delta(P, R, pos, u);
+        if (dlt < best) {
+          best = dlt;
+          bpos = pos - (pos > v_pos ? 1 : 0);
+        }
+      }
+    }
+    *out_pos = bpos;
+    return best;
+  }
+
+  bool step() {
+    int nr = (int)S.routes.size();
+    for (int r1 = 0; r1 < nr; ++r1) {
+      if (S.routes[r1].empty()) continue;
+      for (int r2 = r1 + 1; r2 < nr; ++r2) {
+        if (S.routes[r2].empty()) continue;
+        for (int i = 0; i < (int)S.routes[r1].size(); ++i) {
+          int u = S.routes[r1][i];
+          double rem_u = removal_delta(P, S.routes[r1], i);
+          for (int j = 0; j < (int)S.routes[r2].size(); ++j) {
+            int v = S.routes[r2][j];
+            if (S.load[r1] - P.dem[u] + P.dem[v] > P.cap) continue;
+            if (S.load[r2] - P.dem[v] + P.dem[u] > P.cap) continue;
+            double rem_v = removal_delta(P, S.routes[r2], j);
+            int pu2, pv1;
+            double ins_u = best_insert_avoiding(u, r2, j, &pu2);
+            double ins_v = best_insert_avoiding(v, r1, i, &pv1);
+            double delta = rem_u + rem_v + ins_u + ins_v;
+            if (delta < -1e-9 && pu2 >= 0 && pv1 >= 0) {
+              apply(r1, i, u, pv1, r2, j, v, pu2);
+              return true;
+            }
+          }
+        }
+      }
+    }
+    return false;
+  }
+
+  void apply(int r1, int i, int u, int v_ins_pos_r1,
+             int r2, int j, int v, int u_ins_pos_r2) {
+    // insertion positions are already post-removal indices
+    std::vector<int>& R1 = S.routes[r1];
+    std::vector<int>& R2 = S.routes[r2];
+    R1.erase(R1.begin() + i);
+    R2.erase(R2.begin() + j);
+    R1.insert(R1.begin() + v_ins_pos_r1, v);
+    R2.insert(R2.begin() + u_ins_pos_r2, u);
+    S.load[r1] += P.dem[v] - P.dem[u];
+    S.load[r2] += P.dem[u] - P.dem[v];
+    S.index_route(r1); S.index_route(r2);
+    S.touch(r1); S.touch(r2);
+  }
+};
+
+double total_cost(const Problem& P, const Solution& S) {
+  double c = 0;
+  for (auto& r : S.routes) c += route_cost(P, r);
+  return c;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Improve a CVRP solution in place.
+//   routes_flat / route_lens encode `n_routes` depot-free routes.
+//   count_limit caps the number of applied moves (reference passes `count`
+//   through to LocalSearch::run, cvrp_nls/swapstar.py:326-339).
+//   use_swap_star toggles the SWAP* phase.
+// Returns the resulting number of routes (empty routes dropped); routes are
+// written back into routes_flat/route_lens (capacities: the input sizes).
+int cvrp_local_search(int n, const double* dist, const double* demands,
+                      double capacity, int* routes_flat, int* route_lens,
+                      int n_routes, int count_limit, int k_granular,
+                      int use_swap_star) {
+  Problem P{n, dist, demands, capacity,
+            k_granular > 0 ? k_granular : 20, {}};
+  P.build_neighbors();
+
+  Solution S;
+  S.routes.resize(n_routes);
+  {
+    int off = 0;
+    for (int r = 0; r < n_routes; ++r) {
+      S.routes[r].assign(routes_flat + off, routes_flat + off + route_lens[r]);
+      off += route_lens[r];
+    }
+  }
+  S.rebuild(P);
+
+  SwapStarEngine star(P, S);
+  int moves = 0;
+  bool improved = true;
+  while (improved && moves < count_limit) {
+    improved = false;
+    if (relocate_step(P, S)) { improved = true; ++moves; continue; }
+    if (swap_step(P, S)) { improved = true; ++moves; continue; }
+    if (two_opt_intra_step(P, S)) { improved = true; ++moves; continue; }
+    if (two_opt_star_step(P, S)) { improved = true; ++moves; continue; }
+    if (use_swap_star && star.step()) { improved = true; ++moves; continue; }
+  }
+
+  // write back, dropping empty routes
+  int off = 0, out_r = 0;
+  for (auto& r : S.routes) {
+    if (r.empty()) continue;
+    std::memcpy(routes_flat + off, r.data(), r.size() * sizeof(int));
+    route_lens[out_r++] = (int)r.size();
+    off += (int)r.size();
+  }
+  return out_r;
+}
+
+// Total cost of an encoded solution (for tests/debugging).
+double cvrp_solution_cost(int n, const double* dist, const int* routes_flat,
+                          const int* route_lens, int n_routes) {
+  double c = 0;
+  int off = 0;
+  for (int r = 0; r < n_routes; ++r) {
+    int m = route_lens[r];
+    if (m > 0) {
+      c += dist[routes_flat[off]];  // d(0, first)
+      for (int t = 0; t + 1 < m; ++t)
+        c += dist[(size_t)routes_flat[off + t] * n + routes_flat[off + t + 1]];
+      c += dist[(size_t)routes_flat[off + m - 1] * n];  // d(last, 0)
+    }
+    off += m;
+  }
+  return c;
+}
+
+}  // extern "C"

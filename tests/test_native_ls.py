@@ -1,0 +1,119 @@
+"""Native CVRP local-search tests: build, improve, stay feasible.
+
+The engine (deepaco_tpu/ls/native/cvrp_ls.cpp) must strictly improve random
+route solutions, never break feasibility (coverage + capacity — the
+cvrp_nls/test.py:20-37 validator contract), and its SWAP* phase must find
+exchanges plain RI moves cannot.
+"""
+import numpy as np
+import pytest
+
+from deepaco_tpu.ls import hgs
+
+
+def make_instance(n_customers=30, seed=0):
+    rng = np.random.default_rng(seed)
+    coords = np.concatenate([[[0.5, 0.5]], rng.random((n_customers, 2))])
+    d = np.linalg.norm(coords[:, None] - coords[None], axis=-1)
+    demands = np.concatenate([[0.0], rng.integers(1, 10, n_customers)]) / 40.0
+    return d, demands
+
+
+def random_routes(demands, cap=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    customers = rng.permutation(np.arange(1, len(demands)))
+    routes, cur, load = [], [], 0.0
+    for c in customers:
+        if load + demands[c] > cap:
+            routes.append(np.array(cur, np.int32))
+            cur, load = [], 0.0
+        cur.append(int(c))
+        load += demands[c]
+    if cur:
+        routes.append(np.array(cur, np.int32))
+    return routes
+
+
+def solution_cost(d, routes):
+    c = 0.0
+    for r in routes:
+        if len(r):
+            c += d[0, r[0]] + d[r[-1], 0]
+            c += sum(d[r[i], r[i + 1]] for i in range(len(r) - 1))
+    return c
+
+
+def check_feasible(routes, demands, n_customers, cap=1.0):
+    seen = np.concatenate([r for r in routes if len(r)])
+    assert sorted(seen.tolist()) == list(range(1, n_customers + 1))
+    for r in routes:
+        assert demands[r].sum() <= cap + 1e-9
+
+
+def test_library_builds_and_cost_agrees():
+    lib = hgs.get_library()
+    d, demands = make_instance(10, 1)
+    routes = random_routes(demands, seed=1)
+    import ctypes
+    flat = np.concatenate(routes).astype(np.int32)
+    lens = np.array([len(r) for r in routes], np.int32)
+    c = lib.cvrp_solution_cost(
+        d.shape[0],
+        np.ascontiguousarray(d).ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), len(routes))
+    np.testing.assert_allclose(c, solution_cost(d, routes), rtol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_local_search_improves_and_feasible(seed):
+    d, demands = make_instance(30, seed)
+    routes = random_routes(demands, seed=seed)
+    before = solution_cost(d, routes)
+    out = hgs.swapstar(demands, d, routes, count=10000)
+    after = solution_cost(d, out)
+    assert after < before * 0.95, f"no real improvement: {before} -> {after}"
+    check_feasible(out, demands, 30)
+
+
+def test_swap_star_beats_ri_only():
+    """Averaged over instances, enabling SWAP* must not lose to RI-only and
+    should win somewhere."""
+    wins = ties = 0
+    for seed in range(5):
+        d, demands = make_instance(40, 100 + seed)
+        routes = random_routes(demands, seed=seed)
+        ri = solution_cost(d, hgs.swapstar(demands, d, routes, 10000,
+                                           use_swap_star=False))
+        full = solution_cost(d, hgs.swapstar(demands, d, routes, 10000,
+                                             use_swap_star=True))
+        assert full <= ri + 1e-9
+        if full < ri - 1e-9:
+            wins += 1
+        else:
+            ties += 1
+    assert wins >= 1, "SWAP* never improved over RI moves"
+
+
+def test_path_roundtrip():
+    path = np.array([0, 3, 1, 0, 2, 0, 0, 0])
+    routes = hgs.path_to_routes(path)
+    assert [r.tolist() for r in routes] == [[3, 1], [2]]
+    back = hgs.routes_to_path(routes, 8)
+    assert back.tolist() == [0, 3, 1, 0, 2, 0, 0, 0]
+
+
+def test_multiple_swap_star_batch():
+    d, demands = make_instance(20, 3)
+    paths = []
+    for s in range(4):
+        routes = random_routes(demands, seed=s)
+        paths.append(hgs.routes_to_path(routes, 2 * 20 + 1))
+    paths = np.stack(paths, axis=1)
+    out = hgs.multiple_swap_star(demands, d, paths, count=5000)
+    assert out.shape == paths.shape
+    for a in range(4):
+        routes = hgs.path_to_routes(out[:, a])
+        check_feasible(routes, demands, 20)
+        assert (solution_cost(d, routes)
+                <= solution_cost(d, hgs.path_to_routes(paths[:, a])) + 1e-9)
