@@ -113,6 +113,36 @@ def rollout(spec: RolloutSpec, rng: jax.Array, *, alpha: float = 1.0,
     return Rollout(paths=paths, log_probs=log_probs, state=state)
 
 
+def path_log_probs(spec: RolloutSpec, paths: jax.Array, *, alpha: float = 1.0,
+                   beta: float = 1.0) -> jax.Array:
+    """Differentiable log-probs of a GIVEN action sequence (teacher-forced).
+
+    Re-walks the construction with the recorded actions and evaluates
+    ``log_softmax(logits)[action]`` at each step — the gradient path for
+    REINFORCE when the advantage is computed off-device (e.g. after native
+    local search, reference cvrp_nls/train.py:14-55). ``paths`` is
+    ``[horizon+1, A]`` with row 0 = start actions.
+    """
+    state, _ = spec.init(jax.random.PRNGKey(0))  # start must be deterministic
+
+    def step_fn(state, actions):
+        if spec.probs_fn is not None:
+            probs = spec.probs_fn(state)
+            logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-38)),
+                               NEG_INF)
+        else:
+            phe_rows, heu_rows = spec.prob_rows(state)
+            logits = masked_logits(phe_rows, heu_rows, spec.mask(state),
+                                   alpha, beta)
+        logp_all = jax.nn.log_softmax(logits, axis=-1)
+        logp = jnp.take_along_axis(logp_all, actions[:, None], axis=-1)[:, 0]
+        state = spec.step(state, actions)
+        return state, logp
+
+    _, log_probs = jax.lax.scan(step_fn, state, paths[1:])
+    return log_probs
+
+
 def greedy_rollout(spec: RolloutSpec, rng: jax.Array, *, alpha: float = 1.0,
                    beta: float = 1.0) -> Rollout:
     """Deterministic argmax construction (no Gumbel noise) — greedy decode."""
