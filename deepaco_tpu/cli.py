@@ -1,0 +1,127 @@
+"""Command-line drivers: ``python -m deepaco_tpu {train,test} <problem> ...``.
+
+Unifies the reference's per-problem argparse CLIs (tsp_nls/train.py:130-145,
+cvrp_nls/train.py:154-169, tsp_nls/test.py:66-81, mkp/test.py, ...) behind one
+entry point over the family registry.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="deepaco_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    tr = sub.add_parser("train", help="REINFORCE-train a neural heuristic")
+    tr.add_argument("problem", choices=["tsp", "cvrp", "op", "pctsp",
+                                        "smtwtp", "mkp", "bpp", "sop"])
+    tr.add_argument("-n", "--nodes", type=int, default=100)
+    tr.add_argument("-k", "--k-sparse", type=int, default=None)
+    tr.add_argument("-a", "--ants", type=int, default=20)
+    tr.add_argument("-e", "--epochs", type=int, default=5)
+    tr.add_argument("-s", "--steps", type=int, default=128)
+    tr.add_argument("-b", "--batch-size", type=int, default=1)
+    tr.add_argument("--lr", type=float, default=3e-4)
+    tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("-o", "--output", default=None,
+                    help="checkpoint path (.msgpack)")
+
+    te = sub.add_parser("test", help="anytime evaluation on golden datasets")
+    te.add_argument("problem", choices=["tsp", "cvrp", "op", "pctsp",
+                                        "smtwtp", "mkp", "bpp", "sop"])
+    te.add_argument("-n", "--nodes", type=int, default=100)
+    te.add_argument("-k", "--k-sparse", type=int, default=None)
+    te.add_argument("-a", "--ants", type=int, default=20)
+    te.add_argument("-t", "--t-aco", type=int, nargs="+",
+                    default=[1, 10, 20, 30, 40, 50, 100])
+    te.add_argument("-c", "--ckpt", default=None,
+                    help=".msgpack from train, or a reference .pt checkpoint")
+    te.add_argument("--classic", action="store_true",
+                    help="classic-ACO A/B baseline (no model)")
+    te.add_argument("--limit", type=int, default=None,
+                    help="evaluate only the first N instances")
+    te.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def cmd_train(args) -> None:
+    from deepaco_tpu.train.config import (ACOSettings, ProblemConfig,
+                                          TrainConfig)
+    from deepaco_tpu.train.drivers import train_family
+    from deepaco_tpu.utils.checkpoint import save_checkpoint
+
+    k = args.k_sparse or max(args.nodes // 10, 3)
+    cfg = ProblemConfig(
+        name=args.problem, n_nodes=args.nodes, k_sparse=k,
+        aco=ACOSettings(n_ants=args.ants),
+        train=TrainConfig(lr=args.lr, epochs=args.epochs,
+                          steps_per_epoch=args.steps,
+                          batch_size=args.batch_size, seed=args.seed))
+    t0 = time.time()
+    state = train_family(
+        args.problem, cfg,
+        progress=lambda ep, c: print(f"epoch {ep}: mean cost {c:.4f} "
+                                     f"({time.time() - t0:.1f}s)"))
+    out = args.output or f"checkpoints/{args.problem}{args.nodes}.msgpack"
+    save_checkpoint(out, state)
+    print(f"saved {out}")
+
+
+def _load_variables(args):
+    from deepaco_tpu.families import get_family
+    from deepaco_tpu.train.config import ACOSettings, ProblemConfig, TrainConfig
+    from deepaco_tpu.train.drivers import family_model, init_family_state
+    from deepaco_tpu.utils.checkpoint import load_checkpoint
+
+    if args.ckpt.endswith(".pt"):
+        from deepaco_tpu.models.torch_compat import load_reference_checkpoint
+
+        return load_reference_checkpoint(args.ckpt)
+    family = get_family(args.problem)
+    cfg = ProblemConfig(n_nodes=args.nodes,
+                        k_sparse=args.k_sparse or max(args.nodes // 10, 3),
+                        aco=ACOSettings(), train=TrainConfig())
+    template = init_family_state(family, family_model(family), cfg,
+                                 np.random.default_rng(0))
+    state = load_checkpoint(args.ckpt, template)
+    return {"params": state.params, "batch_stats": state.batch_stats}
+
+
+def cmd_test(args) -> None:
+    from deepaco_tpu.train.drivers import evaluate_family
+    from deepaco_tpu.utils import golden
+
+    ds = golden.GOLDEN[args.problem](args.nodes)
+    if args.limit:
+        ds = {k: v[:args.limit] for k, v in ds.items()}
+    variables = None if args.classic else _load_variables(args)
+    t0 = time.time()
+    means, _ = evaluate_family(
+        args.problem, ds, n_nodes=args.nodes, variables=variables,
+        k_sparse=args.k_sparse, n_ants=args.ants,
+        t_values=tuple(args.t_aco), seed=args.seed)
+    duration = time.time() - t0
+    print(f"total duration: {duration:.2f}s")
+    for t, v in zip(args.t_aco, np.asarray(means)):
+        print(f"T={t}, average cost is {v:.6f}.")
+    print(json.dumps({"problem": args.problem, "n": args.nodes,
+                      "t_aco": args.t_aco,
+                      "means": [float(v) for v in np.asarray(means)],
+                      "duration_s": duration}))
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.command == "train":
+        cmd_train(args)
+    else:
+        cmd_test(args)
+
+
+if __name__ == "__main__":
+    main()
