@@ -74,7 +74,10 @@ def masked_logits(phe_rows, heu_rows, mask, alpha, beta):
     heuristics ``+1e-10`` off-support, tsp/train.ipynb cell 1; pheromone stays
     positive under decay).
     """
-    logits = alpha * jnp.log(phe_rows) + beta * jnp.log(heu_rows)
+    # floor at a NORMAL fp32 value: subnormals flush to 0 in XLA, and
+    # log(0)'s VJP is 0/0 = NaN even under a zero cotangent
+    logits = (alpha * jnp.log(jnp.maximum(phe_rows, 1e-30))
+              + beta * jnp.log(jnp.maximum(heu_rows, 1e-30)))
     return jnp.where(mask > 0, logits, NEG_INF)
 
 
@@ -91,7 +94,7 @@ def rollout(spec: RolloutSpec, rng: jax.Array, *, alpha: float = 1.0,
     def step_fn(state, key):
         if spec.probs_fn is not None:
             probs = spec.probs_fn(state)
-            logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-38)),
+            logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)),
                                NEG_INF)
         else:
             phe_rows, heu_rows = spec.prob_rows(state)
@@ -128,7 +131,7 @@ def path_log_probs(spec: RolloutSpec, paths: jax.Array, *, alpha: float = 1.0,
     def step_fn(state, actions):
         if spec.probs_fn is not None:
             probs = spec.probs_fn(state)
-            logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-38)),
+            logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)),
                                NEG_INF)
         else:
             phe_rows, heu_rows = spec.prob_rows(state)
@@ -152,7 +155,7 @@ def greedy_rollout(spec: RolloutSpec, rng: jax.Array, *, alpha: float = 1.0,
     def step_fn(state, _):
         if spec.probs_fn is not None:
             probs = spec.probs_fn(state)
-            logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-38)),
+            logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)),
                                NEG_INF)
         else:
             phe_rows, heu_rows = spec.prob_rows(state)
