@@ -51,6 +51,13 @@ class RolloutSpec(NamedTuple):
     # nonneg): used when selection is not the phe^a*heu^b product form —
     # e.g. RCPSP's balanced direct+summation evaluation (rcpsp/aco.py:183-206).
     probs_fn: Callable[[Any], jax.Array] | None = None
+    # Optional PRE-COMBINED logit rows (alpha/beta already applied): pheromone
+    # and heuristic are constant within an iteration, so plugins can fold
+    # ``alpha*log(tau) + beta*log(eta)`` into ONE matrix outside the scan and
+    # serve single-row gathers per step — halves the hot-loop HBM traffic
+    # (the reference's prob-matrix precompute, tsp_nls/aco.py:195-207).
+    # When set, the engine ignores its alpha/beta arguments.
+    score_rows: Callable[[Any], jax.Array] | None = None
 
 
 class Rollout(NamedTuple):
@@ -81,6 +88,19 @@ def masked_logits(phe_rows, heu_rows, mask, alpha, beta):
     return jnp.where(mask > 0, logits, NEG_INF)
 
 
+def _step_logits(spec: RolloutSpec, state, alpha, beta):
+    """Per-step masked logits via whichever interface the plug-in provides."""
+    if spec.probs_fn is not None:
+        probs = spec.probs_fn(state)
+        return jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)),
+                         NEG_INF)
+    if spec.score_rows is not None:
+        return jnp.where(spec.mask(state) > 0, spec.score_rows(state),
+                         NEG_INF)
+    phe_rows, heu_rows = spec.prob_rows(state)
+    return masked_logits(phe_rows, heu_rows, spec.mask(state), alpha, beta)
+
+
 def rollout(spec: RolloutSpec, rng: jax.Array, *, alpha: float = 1.0,
             beta: float = 1.0, require_prob: bool = False) -> Rollout:
     """Construct solutions for all ants of one instance.
@@ -92,14 +112,7 @@ def rollout(spec: RolloutSpec, rng: jax.Array, *, alpha: float = 1.0,
     step_keys = jax.random.split(rng_scan, spec.horizon)
 
     def step_fn(state, key):
-        if spec.probs_fn is not None:
-            probs = spec.probs_fn(state)
-            logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)),
-                               NEG_INF)
-        else:
-            phe_rows, heu_rows = spec.prob_rows(state)
-            mask = spec.mask(state)
-            logits = masked_logits(phe_rows, heu_rows, mask, alpha, beta)
+        logits = _step_logits(spec, state, alpha, beta)
         gumbel = jax.random.gumbel(key, logits.shape, dtype=logits.dtype)
         actions = jnp.argmax(jax.lax.stop_gradient(logits) + gumbel, axis=-1)
         if require_prob:
@@ -129,14 +142,7 @@ def path_log_probs(spec: RolloutSpec, paths: jax.Array, *, alpha: float = 1.0,
     state, _ = spec.init(jax.random.PRNGKey(0))  # start must be deterministic
 
     def step_fn(state, actions):
-        if spec.probs_fn is not None:
-            probs = spec.probs_fn(state)
-            logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)),
-                               NEG_INF)
-        else:
-            phe_rows, heu_rows = spec.prob_rows(state)
-            logits = masked_logits(phe_rows, heu_rows, spec.mask(state),
-                                   alpha, beta)
+        logits = _step_logits(spec, state, alpha, beta)
         logp_all = jax.nn.log_softmax(logits, axis=-1)
         logp = jnp.take_along_axis(logp_all, actions[:, None], axis=-1)[:, 0]
         state = spec.step(state, actions)
@@ -153,14 +159,7 @@ def greedy_rollout(spec: RolloutSpec, rng: jax.Array, *, alpha: float = 1.0,
     state, start = spec.init(rng_init)
 
     def step_fn(state, _):
-        if spec.probs_fn is not None:
-            probs = spec.probs_fn(state)
-            logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)),
-                               NEG_INF)
-        else:
-            phe_rows, heu_rows = spec.prob_rows(state)
-            logits = masked_logits(phe_rows, heu_rows, spec.mask(state),
-                                   alpha, beta)
+        logits = _step_logits(spec, state, alpha, beta)
         actions = jnp.argmax(logits, axis=-1)
         state = spec.step(state, actions)
         return state, actions.astype(jnp.int32)

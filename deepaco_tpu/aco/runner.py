@@ -200,7 +200,8 @@ class ACO:
         from deepaco_tpu.aco.problems.tsp import tsp_spec
 
         return tsp_spec(tau if tau is not None else self.state.phe.tau,
-                        self.heuristic, self.cfg.n_ants, self.fixed_start)
+                        self.heuristic, self.cfg.n_ants, self.fixed_start,
+                        alpha=self.cfg.alpha, beta=self.cfg.beta)
 
     def _next_key(self):
         self._it += 1
@@ -256,7 +257,9 @@ def _jit_run(cfg: ACOConfig, n_iterations: int, fixed_start, ls_type,
              state: SearchState, heuristic, distances, rng):
     from deepaco_tpu.aco.problems.tsp import tour_cost, tsp_spec
 
-    spec_factory = lambda tau: tsp_spec(tau, heuristic, cfg.n_ants, fixed_start)
+    spec_factory = lambda tau: tsp_spec(tau, heuristic, cfg.n_ants,
+                                        fixed_start, alpha=cfg.alpha,
+                                        beta=cfg.beta)
     cost_fn = functools.partial(tour_cost, distances)
     ls_fn = None
     if ls_type is not None:

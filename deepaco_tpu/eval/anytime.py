@@ -23,7 +23,8 @@ from deepaco_tpu.utils.datasets import distance_matrix
 def tsp_instance_curve(heu, dist, cfg: ACOConfig, rng, t_max: int):
     """Best-so-far cost after each of ``t_max`` iterations for one instance."""
     n = dist.shape[0]
-    spec_factory = lambda tau: tsp_spec(tau, heu, cfg.n_ants)
+    spec_factory = lambda tau: tsp_spec(tau, heu, cfg.n_ants,
+                                        alpha=cfg.alpha, beta=cfg.beta)
     cost_fn = functools.partial(tour_cost, dist)
     state = init_search(n, n - 1, cfg)
     _, curve = run_anytime(spec_factory, cost_fn, cfg, state, rng, t_max)

@@ -79,8 +79,9 @@ def test_gumbel_sampling_matches_categorical_distribution():
     _, d = random_instance(n, seed=5)
     heu = 1.0 / d
     phe = jnp.ones((n, n))
-    spec = tsp_spec(phe, heu, n_ants, fixed_start=0)
-    ro = rollout(spec, jax.random.PRNGKey(0), beta=2.0, require_prob=True)
+    # beta folds into the spec's precomputed score matrix (score_rows path)
+    spec = tsp_spec(phe, heu, n_ants, fixed_start=0, beta=2.0)
+    ro = rollout(spec, jax.random.PRNGKey(0), require_prob=True)
     first_moves = np.asarray(ro.paths[1])  # step after fixed start 0
 
     probs = np.array(heu[0] ** 2.0)
