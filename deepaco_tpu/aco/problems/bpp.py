@@ -72,7 +72,7 @@ class BPPACO(ProblemACO):
     @classmethod
     def spec_fn(cls, tau, data, cfg):
         return cvrp_spec(tau, data["heu"], data["demand"], data["capacity"],
-                         cfg.n_ants)
+                         cfg.n_ants, alpha=cfg.alpha, beta=cfg.beta)
 
     @classmethod
     def cost_fn(cls, paths, data):

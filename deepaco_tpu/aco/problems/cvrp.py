@@ -23,9 +23,13 @@ from deepaco_tpu.aco.engine import RolloutSpec
 
 
 def cvrp_spec(phe: jax.Array, heu: jax.Array, demand: jax.Array,
-              capacity: float, n_ants: int) -> RolloutSpec:
+              capacity: float, n_ants: int, alpha: float = 1.0,
+              beta: float = 1.0) -> RolloutSpec:
+    from deepaco_tpu.aco.problems.tsp import score_matrix
+
     n = phe.shape[0]             # n = 1 + n_customers
     ants = jnp.arange(n_ants)
+    score = score_matrix(phe, heu, alpha, beta)
 
     def visit_update(visit_mask, actions):
         """cvrp/aco.py:176-180 — clear visited; depot open; the exception."""
@@ -54,6 +58,9 @@ def cvrp_spec(phe: jax.Array, heu: jax.Array, demand: jax.Array,
         cur = state[0]
         return phe[cur], heu[cur]
 
+    def score_rows(state):
+        return score[state[0]]
+
     def mask_fn(state):
         _, visit_mask, _, cap_mask = state
         return visit_mask * cap_mask
@@ -65,7 +72,7 @@ def cvrp_spec(phe: jax.Array, heu: jax.Array, demand: jax.Array,
         return (actions, visit_mask, used, cap_mask)
 
     return RolloutSpec(horizon=2 * (n - 1), init=init, prob_rows=prob_rows,
-                       mask=mask_fn, step=step)
+                       mask=mask_fn, step=step, score_rows=score_rows)
 
 
 def route_cost(dist: jax.Array, paths: jax.Array) -> jax.Array:
@@ -105,7 +112,8 @@ class CVRPACO:
 
     def _spec_factory(self, tau):
         return cvrp_spec(tau, self.heuristic, self.demand, self.capacity,
-                         self.cfg.n_ants)
+                         self.cfg.n_ants, alpha=self.cfg.alpha,
+                         beta=self.cfg.beta)
 
     def _next_key(self):
         self._it += 1
@@ -145,7 +153,8 @@ def _jit_run_cvrp(cfg, n_iterations, capacity, state, heuristic, distances,
     @functools.partial(jax.jit, static_argnums=(0, 1, 2))
     def go(cfg, n_iterations, capacity, state, heuristic, distances, demand, rng):
         spec_factory = lambda tau: cvrp_spec(
-            tau, heuristic, demand, capacity, cfg.n_ants)
+            tau, heuristic, demand, capacity, cfg.n_ants,
+            alpha=cfg.alpha, beta=cfg.beta)
         cost_fn = functools.partial(route_cost, distances)
         return run_anytime(spec_factory, cost_fn, cfg, state, rng, n_iterations)
 

@@ -49,11 +49,15 @@ def _knapsack_masks(weight_e, capacity, n_ants, dtype):
 
 
 def mkp_spec(phe: jax.Array, heu: jax.Array, weight_e: jax.Array,
-             capacity: float, n_ants: int) -> RolloutSpec:
+             capacity: float, n_ants: int, alpha: float = 1.0,
+             beta: float = 1.0) -> RolloutSpec:
     """PH_suc: ``phe``/``heu`` are ``[n+1, n+1]`` (dummy-extended)."""
+    from deepaco_tpu.aco.problems.tsp import score_matrix
+
     m_items = phe.shape[0]
     n_real = m_items - 1
     update, dummy = _knapsack_masks(weight_e, capacity, n_ants, phe.dtype)
+    score = score_matrix(phe, heu, alpha, beta)
 
     def init(rng):
         start = jax.random.randint(rng, (n_ants,), 0, n_real)
@@ -67,6 +71,9 @@ def mkp_spec(phe: jax.Array, heu: jax.Array, weight_e: jax.Array,
         cur = state[0]
         return phe[cur], heu[cur]
 
+    def score_rows(state):
+        return score[state[0]]
+
     def mask_fn(state):
         _, mask, dummy_mask, _ = state
         return mask * dummy_mask
@@ -77,19 +84,23 @@ def mkp_spec(phe: jax.Array, heu: jax.Array, weight_e: jax.Array,
         return (actions, mask, dummy_mask, knapsack)
 
     return RolloutSpec(horizon=n_real + 1, init=init, prob_rows=prob_rows,
-                       mask=mask_fn, step=step)
+                       mask=mask_fn, step=step, score_rows=score_rows)
 
 
 def mkp_items_spec(phe_vec: jax.Array, heu_vec: jax.Array, weight_e: jax.Array,
-                   capacity: float, n_ants: int) -> RolloutSpec:
+                   capacity: float, n_ants: int, alpha: float = 1.0,
+                   beta: float = 1.0) -> RolloutSpec:
     """PH_items: ``phe_vec``/``heu_vec`` are ``[n+1]``; picks are history-free.
 
     The engine's start slot is pinned to the dummy item (prize 0, weight 0,
     state no-op) so that *every* real pick flows through the scanned sampler
     with a log-prob, exactly like the reference loop (mkp_transformer/
     aco.py:111-135)."""
+    from deepaco_tpu.aco.problems.tsp import score_matrix
+
     m_items = phe_vec.shape[0]
     update, dummy = _knapsack_masks(weight_e, capacity, n_ants, phe_vec.dtype)
+    score_vec = score_matrix(phe_vec, heu_vec, alpha, beta)
 
     def init(rng):
         start = jnp.full((n_ants,), dummy, jnp.int32)
@@ -104,6 +115,9 @@ def mkp_items_spec(phe_vec: jax.Array, heu_vec: jax.Array, weight_e: jax.Array,
         heu_rows = jnp.broadcast_to(heu_vec[None, :], (n_ants, m_items))
         return phe_rows, heu_rows
 
+    def score_rows(state):
+        return jnp.broadcast_to(score_vec[None, :], (n_ants, m_items))
+
     def mask_fn(state):
         _, mask, dummy_mask, _ = state
         return mask * dummy_mask
@@ -114,7 +128,7 @@ def mkp_items_spec(phe_vec: jax.Array, heu_vec: jax.Array, weight_e: jax.Array,
         return (actions, mask, dummy_mask, knapsack)
 
     return RolloutSpec(horizon=m_items, init=init, prob_rows=prob_rows,
-                       mask=mask_fn, step=step)
+                       mask=mask_fn, step=step, score_rows=score_rows)
 
 
 def mkp_objective(prizes_e: jax.Array, paths: jax.Array) -> jax.Array:
@@ -168,7 +182,7 @@ class MKPACO(ProblemACO):
     @classmethod
     def spec_fn(cls, tau, data, cfg):
         return mkp_spec(tau, data["heu"], data["weight"], data["capacity"],
-                        cfg.n_ants)
+                        cfg.n_ants, alpha=cfg.alpha, beta=cfg.beta)
 
     @classmethod
     def cost_fn(cls, paths, data):
@@ -207,7 +221,8 @@ class MKPItemsACO(ProblemACO):
     @classmethod
     def spec_fn(cls, tau, data, cfg):
         return mkp_items_spec(tau, data["heu"], data["weight"],
-                              data["capacity"], cfg.n_ants)
+                              data["capacity"], cfg.n_ants,
+                              alpha=cfg.alpha, beta=cfg.beta)
 
     @classmethod
     def cost_fn(cls, paths, data):

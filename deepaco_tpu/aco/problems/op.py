@@ -32,11 +32,15 @@ def extend_op_instance(dist, prizes, heu):
 
 
 def op_spec(phe: jax.Array, heu: jax.Array, dist: jax.Array,
-            max_len: float, n_ants: int) -> RolloutSpec:
+            max_len: float, n_ants: int, alpha: float = 1.0,
+            beta: float = 1.0) -> RolloutSpec:
     """``dist``/``heu``/``phe`` are the extended ``[n+1, n+1]`` arrays."""
+    from deepaco_tpu.aco.problems.tsp import score_matrix
+
     m = phe.shape[0]             # m = n_real + 1 (dummy at index m-1)
     dummy = m - 1
     ants = jnp.arange(n_ants)
+    score = score_matrix(phe, heu, alpha, beta)
 
     def update_mask(mask, travel, cur):
         mask = mask.at[ants, cur].set(0.0)
@@ -60,6 +64,9 @@ def op_spec(phe: jax.Array, heu: jax.Array, dist: jax.Array,
         cur = state[0]
         return phe[cur], heu[cur]
 
+    def score_rows(state):
+        return score[state[0]]
+
     def mask_fn(state):
         return state[2]
 
@@ -70,7 +77,7 @@ def op_spec(phe: jax.Array, heu: jax.Array, dist: jax.Array,
         return (actions, travel, mask)
 
     return RolloutSpec(horizon=m, init=init, prob_rows=prob_rows,
-                       mask=mask_fn, step=step)
+                       mask=mask_fn, step=step, score_rows=score_rows)
 
 
 def op_objective(prizes: jax.Array, paths: jax.Array) -> jax.Array:
@@ -115,7 +122,8 @@ class OPACO(ProblemACO):
     @classmethod
     def spec_fn(cls, tau, data, cfg):
         return op_spec(tau, data["heu"], data["dist"],
-                       data["max_len"], cfg.n_ants)
+                       data["max_len"], cfg.n_ants,
+                       alpha=cfg.alpha, beta=cfg.beta)
 
     @classmethod
     def cost_fn(cls, paths, data):

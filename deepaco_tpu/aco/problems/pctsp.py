@@ -17,9 +17,13 @@ from deepaco_tpu.aco.runner import ACOConfig, ProblemACO
 
 
 def pctsp_spec(phe: jax.Array, heu: jax.Array, prizes: jax.Array,
-               min_prizes: jax.Array, n_ants: int) -> RolloutSpec:
+               min_prizes: jax.Array, n_ants: int, alpha: float = 1.0,
+               beta: float = 1.0) -> RolloutSpec:
+    from deepaco_tpu.aco.problems.tsp import score_matrix
+
     n = phe.shape[0]
     ants = jnp.arange(n_ants)
+    score = score_matrix(phe, heu, alpha, beta)
 
     def update_masks(visit_mask, depot_mask, cur, collected):
         visit_mask = visit_mask.at[ants, cur].set(0.0)
@@ -50,6 +54,9 @@ def pctsp_spec(phe: jax.Array, heu: jax.Array, prizes: jax.Array,
         cur = state[0]
         return phe[cur], heu[cur]
 
+    def score_rows(state):
+        return score[state[0]]
+
     def mask_fn(state):
         _, visit_mask, depot_mask, _ = state
         return visit_mask * depot_mask
@@ -62,7 +69,7 @@ def pctsp_spec(phe: jax.Array, heu: jax.Array, prizes: jax.Array,
         return (actions, visit_mask, depot_mask, collected)
 
     return RolloutSpec(horizon=n + 1, init=init, prob_rows=prob_rows,
-                       mask=mask_fn, step=step)
+                       mask=mask_fn, step=step, score_rows=score_rows)
 
 
 def pctsp_objective(dist, prizes, penalties, paths) -> jax.Array:
@@ -103,7 +110,8 @@ class PCTSPACO(ProblemACO):
     @classmethod
     def spec_fn(cls, tau, data, cfg):
         return pctsp_spec(tau, data["heu"], data["prizes"],
-                          data["min_prizes"], cfg.n_ants)
+                          data["min_prizes"], cfg.n_ants,
+                          alpha=cfg.alpha, beta=cfg.beta)
 
     @classmethod
     def cost_fn(cls, paths, data):

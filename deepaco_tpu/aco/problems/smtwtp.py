@@ -18,9 +18,13 @@ from deepaco_tpu.aco.engine import RolloutSpec
 from deepaco_tpu.aco.runner import ACOConfig, ProblemACO
 
 
-def smtwtp_spec(phe: jax.Array, heu: jax.Array, n_ants: int) -> RolloutSpec:
+def smtwtp_spec(phe: jax.Array, heu: jax.Array, n_ants: int,
+                alpha: float = 1.0, beta: float = 1.0) -> RolloutSpec:
+    from deepaco_tpu.aco.problems.tsp import clear_onehot, score_matrix
+
     m = phe.shape[0]              # m = n + 1 (dummy job 0)
     ants = jnp.arange(n_ants)
+    score = score_matrix(phe, heu, alpha, beta)
 
     def init(rng):
         start = jnp.zeros((n_ants,), jnp.int32)
@@ -31,15 +35,18 @@ def smtwtp_spec(phe: jax.Array, heu: jax.Array, n_ants: int) -> RolloutSpec:
         cur = state[0]
         return phe[cur], heu[cur]
 
+    def score_rows(state):
+        return score[state[0]]
+
     def mask_fn(state):
         return state[1]
 
     def step(state, actions):
         _, mask = state
-        return actions, mask.at[ants, actions].set(0.0)
+        return actions, clear_onehot(mask, actions)
 
     return RolloutSpec(horizon=m - 1, init=init, prob_rows=prob_rows,
-                       mask=mask_fn, step=step)
+                       mask=mask_fn, step=step, score_rows=score_rows)
 
 
 def smtwtp_cost(processing, due, weights, paths) -> jax.Array:
@@ -80,7 +87,8 @@ class SMTWTPACO(ProblemACO):
 
     @classmethod
     def spec_fn(cls, tau, data, cfg):
-        return smtwtp_spec(tau, data["heu"], cfg.n_ants)
+        return smtwtp_spec(tau, data["heu"], cfg.n_ants,
+                           alpha=cfg.alpha, beta=cfg.beta)
 
     @classmethod
     def cost_fn(cls, paths, data):

@@ -19,12 +19,16 @@ from deepaco_tpu.aco.runner import ACOConfig, ProblemACO
 
 
 def sop_spec(phe: jax.Array, heu: jax.Array, prec: jax.Array,
-             n_ants: int) -> RolloutSpec:
+             n_ants: int, alpha: float = 1.0,
+             beta: float = 1.0) -> RolloutSpec:
     """``prec[j, k] = 1`` iff k must precede j (reference preceding_mat_gen,
     sop/utils.py:31-38)."""
+    from deepaco_tpu.aco.problems.tsp import clear_onehot, score_matrix
+
     n = phe.shape[0]
     ants = jnp.arange(n_ants)
     prec = prec.astype(jnp.int32)
+    score = score_matrix(phe, heu, alpha, beta)
 
     def init(rng):
         start = jnp.zeros((n_ants,), jnp.int32)
@@ -38,18 +42,21 @@ def sop_spec(phe: jax.Array, heu: jax.Array, prec: jax.Array,
         cur = state[0]
         return phe[cur], heu[cur]
 
+    def score_rows(state):
+        return score[state[0]]
+
     def mask_fn(state):
         _, visit_mask, counts = state
         return visit_mask * (counts == 0).astype(phe.dtype)
 
     def step(state, actions):
         _, visit_mask, counts = state
-        visit_mask = visit_mask.at[ants, actions].set(0.0)
+        visit_mask = clear_onehot(visit_mask, actions)
         counts = counts - prec[:, actions].T           # zero column = decrement
         return (actions, visit_mask, counts)
 
     return RolloutSpec(horizon=n - 1, init=init, prob_rows=prob_rows,
-                       mask=mask_fn, step=step)
+                       mask=mask_fn, step=step, score_rows=score_rows)
 
 
 def sop_cost(dist: jax.Array, paths: jax.Array) -> jax.Array:
@@ -80,7 +87,8 @@ class SOPACO(ProblemACO):
 
     @classmethod
     def spec_fn(cls, tau, data, cfg):
-        return sop_spec(tau, data["heu"], data["prec"], cfg.n_ants)
+        return sop_spec(tau, data["heu"], data["prec"], cfg.n_ants,
+                        alpha=cfg.alpha, beta=cfg.beta)
 
     @classmethod
     def cost_fn(cls, paths, data):

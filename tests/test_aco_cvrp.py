@@ -5,6 +5,7 @@ The reference cvrp/aco.py is pure torch (no PyG), so these tests drive the
 semantics are compared step-by-step under forced actions, and full rollouts
 are validated for feasibility and cost equivalence.
 """
+import importlib.util
 import sys
 
 import numpy as np
@@ -22,9 +23,6 @@ from deepaco_tpu.aco.problems.cvrp import (
     validate_routes,
 )
 
-sys.path.insert(0, "/root/reference/cvrp")
-
-
 def make_instance(n_customers=8, seed=0, capacity=50.0):
     rng = np.random.default_rng(seed)
     coords = np.concatenate(
@@ -37,10 +35,14 @@ def make_instance(n_customers=8, seed=0, capacity=50.0):
 
 
 def reference_aco(d, demand, capacity, n_ants):
-    from aco import ACO as RefACO  # reference cvrp/aco.py
-
-    return RefACO(torch.as_tensor(d), torch.as_tensor(demand),
-                  n_ants=n_ants, capacity=capacity)
+    # unique module name: several reference dirs ship an `aco.py`
+    spec = importlib.util.spec_from_file_location(
+        "ref_cvrp_aco", "/root/reference/cvrp/aco.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_cvrp_aco"] = mod
+    spec.loader.exec_module(mod)
+    return mod.ACO(torch.as_tensor(d), torch.as_tensor(demand),
+                   n_ants=n_ants, capacity=capacity)
 
 
 def test_mask_semantics_match_reference_step_by_step():

@@ -275,11 +275,7 @@ class TestBPP:
 class TestSOP:
     def make(self, n=15, seed=0):
         torch.manual_seed(seed)
-        sys.path.insert(0, "/root/reference/sop")
-        import importlib
-        spec = importlib.util.spec_from_file_location(
-            "ref_sop_utils", "/root/reference/sop/utils.py")
-        # utils imports torch_geometric — replicate its generators instead
+        # sop/utils.py imports torch_geometric — replicate its generators
         r = []
         for i in range(1, n):
             r.append((0, i))
