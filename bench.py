@@ -97,7 +97,18 @@ def reference_cpu_run(heu_mats, dist_mats):
 
 
 def main():
-    tpu = tpu_run()
+    # the dev TPU is reached through a relay that occasionally drops the
+    # worker; retry the device phase a couple of times before giving up
+    last_err = None
+    for attempt in range(3):
+        try:
+            tpu = tpu_run()
+            break
+        except Exception as e:            # pragma: no cover
+            last_err = e
+            time.sleep(20)
+    else:
+        raise last_err
 
     # build reference-identical heuristics for the baseline instances
     import jax
