@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     te.add_argument("--limit", type=int, default=None,
                     help="evaluate only the first N instances")
     te.add_argument("--seed", type=int, default=0)
+    te.add_argument("--local-search", choices=["2opt", "nls"], default=None,
+                    help="TSP only: apply on-device local search in the run "
+                         "loop (the tsp_nls protocol, tsp_nls/test.py:49-56)")
     return p
 
 
@@ -99,6 +102,9 @@ def cmd_test(args) -> None:
     ds = golden.GOLDEN[args.problem](args.nodes)
     if args.limit:
         ds = {k: v[:args.limit] for k, v in ds.items()}
+    if getattr(args, "local_search", None):
+        assert args.problem == "tsp", "--local-search applies to tsp"
+        return _cmd_test_tsp_ls(args, ds)
     variables = None if args.classic else _load_variables(args)
     t0 = time.time()
     means, _ = evaluate_family(
@@ -112,6 +118,55 @@ def cmd_test(args) -> None:
     print(json.dumps({"problem": args.problem, "n": args.nodes,
                       "t_aco": args.t_aco,
                       "means": [float(v) for v in np.asarray(means)],
+                      "duration_s": duration}))
+
+
+def _cmd_test_tsp_ls(args, ds) -> None:
+    """TSP-NLS protocol: per-instance ACO facade with on-device 2-opt/NLS
+    in the run loop (reference tsp_nls/test.py:17-56)."""
+    import jax.numpy as jnp
+
+    from deepaco_tpu.aco import ACO
+    from deepaco_tpu.core.graph import knn_graph, scatter_to_dense
+    from deepaco_tpu.models.gnn import Net
+    from deepaco_tpu.train.drivers import family_model  # noqa: F401
+
+    variables = None if args.classic else _load_variables(args)
+    model = Net() if variables is not None else None
+    k = args.k_sparse or max(args.nodes // 10, 3)
+    t_values = args.t_aco
+    t_max = max(t_values)
+    curves = []
+    t0 = time.time()
+    for i in range(ds["coords"].shape[0]):
+        coords = jnp.asarray(ds["coords"][i])
+        dist = jnp.asarray(ds["dist"][i])
+        if model is not None:
+            from deepaco_tpu.core.builders import tsp_nls_graph
+
+            g = tsp_nls_graph(coords, dist, k, start_node=0)
+            out = model.apply(variables, g, train=False)
+            heu_vec = out[1] if isinstance(out, tuple) else out
+            heu = scatter_to_dense(g, heu_vec) + 1e-10
+            aco = ACO(dist, n_ants=args.ants, heuristic=heu,
+                      local_search=args.local_search, seed=args.seed + i)
+        else:
+            aco = ACO(dist, n_ants=args.ants,
+                      local_search=args.local_search, seed=args.seed + i)
+            aco.sparsify(k)
+        curve, done = [], 0
+        for t in t_values:
+            aco.run(t - done)
+            done = t
+            curve.append(float(aco.lowest_cost))
+        curves.append(curve)
+    means = np.mean(np.asarray(curves), axis=0)
+    duration = time.time() - t0
+    print(f"total duration: {duration:.2f}s")
+    for t, v in zip(t_values, means):
+        print(f"T={t}, average cost is {v:.6f}.")
+    print(json.dumps({"problem": "tsp_" + args.local_search, "n": args.nodes,
+                      "t_aco": t_values, "means": means.tolist(),
                       "duration_s": duration}))
 
 
