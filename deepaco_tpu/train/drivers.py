@@ -172,17 +172,29 @@ def _eval_family(family: Family, model, k_sparse: int, t_max: int,
 def evaluate_family(family_name: str, batch: dict, *, n_nodes: int,
                     variables=None, k_sparse: int | None = None,
                     n_ants: int = 20,
-                    t_values=(1, 10, 20, 30, 40, 50, 100), seed: int = 0):
+                    t_values=(1, 10, 20, 30, 40, 50, 100), seed: int = 0,
+                    mesh=None):
     """Anytime protocol over a dataset batch for any family.
 
     ``variables=None`` runs the classic-ACO A/B baseline. Returns
     (mean best-so-far at each t, full [B, t_max] curves).
+
+    ``mesh``: a ``jax.sharding.Mesh`` with an ``"instance"`` axis — the batch
+    shards across devices (colony sharding: each device sweeps its share of
+    instances end-to-end; the only cross-device op is the final mean).
     """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     family = _family_with_ants(family_name, n_ants)
     if k_sparse is None:
         k_sparse = family.k_sparse(n_nodes)
     model = None if variables is None else family_model(family)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P("instance"))
+        batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        if variables is not None:
+            variables = jax.device_put(variables, NamedSharding(mesh, P()))
     t_max = int(max(t_values))
     curves = _eval_family(family, model, k_sparse, t_max, n_nodes,
                           variables, batch, jax.random.PRNGKey(seed))

@@ -76,3 +76,21 @@ def test_sharded_matches_single_device():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
         s_sharded.batch_stats, s_local.batch_stats)
+
+
+def test_colony_sharded_evaluation_matches_single_device():
+    """Instance-sharded anytime sweep must reproduce the unsharded curves."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from deepaco_tpu.families import get_family
+    from deepaco_tpu.train.drivers import evaluate_family, gen_batch
+
+    family = get_family("tsp")
+    batch = gen_batch(family, np.random.default_rng(0), 16, 8)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), axis_names=("instance",))
+    m1, c1 = evaluate_family("tsp", batch, n_nodes=16, k_sparse=6, n_ants=6,
+                             t_values=(1, 4), seed=3)
+    m2, c2 = evaluate_family("tsp", batch, n_nodes=16, k_sparse=6, n_ants=6,
+                             t_values=(1, 4), seed=3, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-5)
