@@ -54,6 +54,22 @@ def get_library():
                 ctypes.c_int,                       # k_granular
                 ctypes.c_int,                       # use_swap_star
             ]
+            lib.cvrp_solve.restype = ctypes.c_double
+            lib.cvrp_solve.argtypes = [
+                ctypes.c_int,                       # n
+                ctypes.POINTER(ctypes.c_double),    # dist
+                ctypes.POINTER(ctypes.c_double),    # demands
+                ctypes.c_double,                    # capacity
+                ctypes.c_int,                       # max_iters
+                ctypes.c_int,                       # no_improve_limit
+                ctypes.c_double,                    # time_limit_s
+                ctypes.c_uint,                      # seed
+                ctypes.c_int,                       # ls_count
+                ctypes.c_int,                       # k_granular
+                ctypes.POINTER(ctypes.c_int),       # routes_flat out
+                ctypes.POINTER(ctypes.c_int),       # route_lens out
+                ctypes.POINTER(ctypes.c_int),       # n_routes out
+            ]
             lib.cvrp_solution_cost.restype = ctypes.c_double
             lib.cvrp_solution_cost.argtypes = [
                 ctypes.c_int, ctypes.POINTER(ctypes.c_double),
@@ -134,6 +150,41 @@ def swapstar(demands, dist, routes, count: int = 1000, k_granular: int = 20,
         out.append(flat[off:off + lens[i]].copy())
         off += lens[i]
     return out
+
+
+def solve_cvrp(demands, dist, capacity: float = 1.0, max_iters: int = 2000,
+               no_improve_limit: int = 500, time_limit_s: float = 0.0,
+               seed: int = 0, ls_count: int = 100000, k_granular: int = 20):
+    """Standalone hybrid genetic search for one CVRP instance.
+
+    The equivalent of the reference's ``solve_cvrp*`` C entries
+    (cvrp_nls/HGS-CVRP-main/Program/C_Interface.cpp:50-127) backed by the
+    Genetic/Population/Split tier (SURVEY §2.2 N5): giant-tour chromosomes,
+    optimal Split decoding, OX crossover, local-search education, biased
+    fitness population management. Returns ``(routes, cost)``.
+    """
+    lib = get_library()
+    dist = np.ascontiguousarray(dist, np.float64)
+    demands = np.ascontiguousarray(demands, np.float64)
+    n = dist.shape[0]
+    flat = np.zeros(max(n - 1, 1), np.int32)
+    lens = np.zeros(max(n, 1), np.int32)
+    n_routes = ctypes.c_int(0)
+    cost = lib.cvrp_solve(
+        n,
+        dist.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        demands.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_double(capacity), max_iters, no_improve_limit,
+        ctypes.c_double(time_limit_s), ctypes.c_uint(seed), ls_count,
+        k_granular,
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ctypes.byref(n_routes))
+    routes, off = [], 0
+    for i in range(n_routes.value):
+        routes.append(flat[off:off + lens[i]].copy())
+        off += lens[i]
+    return routes, float(cost)
 
 
 def neural_swapstar(demands, dist, heu_dist, routes, count: int = 1000,

@@ -18,9 +18,12 @@
 // Build: g++ -O3 -march=native -shared -fPIC cvrp_ls.cpp -o libcvrpls.so
 
 #include <algorithm>
+#include <array>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <random>
 #include <vector>
 
 namespace {
@@ -394,6 +397,175 @@ double total_cost(const Problem& P, const Solution& S) {
   return c;
 }
 
+// Run the full improvement loop (RI moves + optional SWAP*) until a local
+// optimum or `count_limit` applied moves. Returns the number of moves.
+int improve(const Problem& P, Solution& S, int count_limit,
+            bool use_swap_star) {
+  SwapStarEngine star(P, S);
+  int moves = 0;
+  bool improved = true;
+  while (improved && moves < count_limit) {
+    improved = false;
+    if (relocate_step(P, S)) { improved = true; ++moves; continue; }
+    if (swap_step(P, S)) { improved = true; ++moves; continue; }
+    if (two_opt_intra_step(P, S)) { improved = true; ++moves; continue; }
+    if (two_opt_star_step(P, S)) { improved = true; ++moves; continue; }
+    if (use_swap_star && star.step()) { improved = true; ++moves; continue; }
+  }
+  return moves;
+}
+
+// ---------------------------------------------------------------------------
+// Hybrid genetic search (the TPU-era equivalent of the reference's vendored
+// HGS GA tier — Genetic/Population/Split, cvrp_nls/HGS-CVRP-main/Program/
+// {Genetic,Population,Split}.cpp; SURVEY §2.2 N5). Fresh implementation from
+// the published algorithm (Vidal 2022): giant-tour chromosome, optimal Split
+// decoding under hard capacity, OX crossover, education by the local-search
+// engine above, and population management with biased fitness
+// (cost rank + broken-pairs diversity rank).
+// ---------------------------------------------------------------------------
+struct Indiv {
+  std::vector<int> tour;                 // giant tour (customers 1..n-1)
+  std::vector<std::vector<int>> routes;  // Split/LS result
+  double cost = 1e30;
+};
+
+// Optimal split of a giant tour into capacity-feasible routes: Bellman over
+// prefix positions; inner loop bounded by capacity so ~O(m · max_route_len).
+bool split_tour(const Problem& P, const std::vector<int>& tour, Indiv& out) {
+  int m = (int)tour.size();
+  std::vector<double> dp(m + 1, 1e30);
+  std::vector<int> pred(m + 1, -1);
+  dp[0] = 0.0;
+  for (int i = 0; i < m; ++i) {
+    if (dp[i] >= 1e29) continue;
+    double load = 0.0, inner = 0.0;
+    for (int j = i; j < m; ++j) {
+      load += P.dem[tour[j]];
+      if (load > P.cap) break;
+      if (j > i) inner += P.d(tour[j - 1], tour[j]);
+      double c = dp[i] + P.d(0, tour[i]) + inner + P.d(tour[j], 0);
+      if (c < dp[j + 1]) { dp[j + 1] = c; pred[j + 1] = i; }
+    }
+  }
+  if (dp[m] >= 1e29) return false;  // some demand exceeds capacity
+  out.tour = tour;
+  out.routes.clear();
+  std::vector<std::pair<int, int>> segs;
+  for (int j = m; j > 0; j = pred[j]) segs.push_back({pred[j], j});
+  for (auto it = segs.rbegin(); it != segs.rend(); ++it)
+    out.routes.emplace_back(tour.begin() + it->first,
+                            tour.begin() + it->second);
+  out.cost = dp[m];
+  return true;
+}
+
+// OX (order crossover) on giant tours.
+std::vector<int> ox_crossover(const std::vector<int>& a,
+                              const std::vector<int>& b, int n,
+                              std::mt19937& rng) {
+  int m = (int)a.size();
+  std::uniform_int_distribution<int> U(0, m - 1);
+  int s = U(rng), e = U(rng);
+  if (s > e) std::swap(s, e);
+  std::vector<int> child(m, -1);
+  std::vector<char> used(n, 0);
+  for (int i = s; i <= e; ++i) { child[i] = a[i]; used[a[i]] = 1; }
+  int k = (e + 1) % m;
+  for (int t = 0; t < m; ++t) {
+    int v = b[(e + 1 + t) % m];
+    if (!used[v]) { child[k] = v; k = (k + 1) % m; }
+  }
+  return child;
+}
+
+// Broken-pairs distance: fraction of a customer's route neighbors (pred,
+// succ, depot included) not shared between two individuals.
+double broken_pairs(const Indiv& A, const Indiv& B, int n) {
+  auto adj = [n](const Indiv& X) {
+    std::vector<std::array<int, 2>> a((size_t)n, {0, 0});
+    for (const auto& r : X.routes)
+      for (int p = 0; p < (int)r.size(); ++p) {
+        a[r[p]][0] = p > 0 ? r[p - 1] : 0;
+        a[r[p]][1] = p + 1 < (int)r.size() ? r[p + 1] : 0;
+      }
+    return a;
+  };
+  auto aa = adj(A), ab = adj(B);
+  int diff = 0;
+  for (int v = 1; v < n; ++v)
+    for (int t = 0; t < 2; ++t)
+      if (aa[v][t] != ab[v][0] && aa[v][t] != ab[v][1]) ++diff;
+  return n > 1 ? diff / (2.0 * (n - 1)) : 0.0;
+}
+
+struct Population {
+  int n, mu, nb_elite, nb_close;
+  std::vector<Indiv> pool;
+
+  // Biased fitness ranks (Vidal 2022 §3.4): fit rank on cost + diversity
+  // rank on mean broken-pairs distance to the nb_close closest individuals.
+  std::vector<double> biased_fitness() const {
+    int N = (int)pool.size();
+    std::vector<int> order(N);
+    for (int i = 0; i < N; ++i) order[i] = i;
+    std::sort(order.begin(), order.end(), [&](int x, int y) {
+      return pool[x].cost < pool[y].cost;
+    });
+    std::vector<double> fit_rank(N), div(N);
+    for (int r = 0; r < N; ++r) fit_rank[order[r]] = r;
+    std::vector<double> drow(N);
+    for (int i = 0; i < N; ++i) {
+      for (int j = 0; j < N; ++j)
+        drow[j] = i == j ? 1e30 : broken_pairs(pool[i], pool[j], n);
+      int k = std::min(nb_close, N - 1);
+      std::partial_sort(drow.begin(), drow.begin() + k, drow.end());
+      double s = 0;
+      for (int t = 0; t < k; ++t) s += drow[t];
+      div[i] = k > 0 ? s / k : 0.0;
+    }
+    std::vector<int> dorder(N);
+    for (int i = 0; i < N; ++i) dorder[i] = i;
+    std::sort(dorder.begin(), dorder.end(), [&](int x, int y) {
+      return div[x] > div[y];  // most diverse first (best rank)
+    });
+    std::vector<double> bf(N);
+    double w = N > 0 ? 1.0 - (double)nb_elite / N : 1.0;
+    for (int r = 0; r < N; ++r) {
+      int i = dorder[r];
+      bf[i] = fit_rank[i] + w * r;
+    }
+    return bf;
+  }
+
+  // Drop the worst-biased-fitness individuals (clones first) down to mu.
+  void select_survivors() {
+    while ((int)pool.size() > mu) {
+      auto bf = biased_fitness();
+      int worst = -1;
+      bool worst_clone = false;
+      for (int i = 0; i < (int)pool.size(); ++i) {
+        bool clone = false;
+        for (int j = 0; j < (int)pool.size() && !clone; ++j)
+          clone = i != j && broken_pairs(pool[i], pool[j], n) < 1e-12;
+        if (worst < 0 || (clone && !worst_clone) ||
+            (clone == worst_clone && bf[i] > bf[worst])) {
+          worst = i;
+          worst_clone = clone;
+        }
+      }
+      pool.erase(pool.begin() + worst);
+    }
+  }
+
+  const Indiv& tournament(std::mt19937& rng,
+                          const std::vector<double>& bf) const {
+    std::uniform_int_distribution<int> U(0, (int)pool.size() - 1);
+    int a = U(rng), b = U(rng);
+    return bf[a] <= bf[b] ? pool[a] : pool[b];
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -424,17 +596,7 @@ int cvrp_local_search(int n, const double* dist, const double* demands,
   }
   S.rebuild(P);
 
-  SwapStarEngine star(P, S);
-  int moves = 0;
-  bool improved = true;
-  while (improved && moves < count_limit) {
-    improved = false;
-    if (relocate_step(P, S)) { improved = true; ++moves; continue; }
-    if (swap_step(P, S)) { improved = true; ++moves; continue; }
-    if (two_opt_intra_step(P, S)) { improved = true; ++moves; continue; }
-    if (two_opt_star_step(P, S)) { improved = true; ++moves; continue; }
-    if (use_swap_star && star.step()) { improved = true; ++moves; continue; }
-  }
+  improve(P, S, count_limit, use_swap_star != 0);
 
   // write back, dropping empty routes
   int off = 0, out_r = 0;
@@ -445,6 +607,99 @@ int cvrp_local_search(int n, const double* dist, const double* demands,
     off += (int)r.size();
   }
   return out_r;
+}
+
+// Full hybrid genetic search for one CVRP instance (the equivalent of the
+// reference's exposed-but-unused `solve_cvrp*` entries, C_Interface.cpp:50-127,
+// backed by Genetic/Population/Split — SURVEY §2.2 N5).
+//
+//   max_iters          total crossover+educate iterations cap
+//   no_improve_limit   stop after this many iterations without a new best
+//   time_limit_s       wall-clock cap (<=0 disables)
+//   seed               deterministic RNG seed
+//   ls_count           move cap per education call
+//   routes_flat        out, capacity >= n-1 ints
+//   route_lens         out, capacity >= n ints
+//   n_routes_out       out, number of routes written
+// Returns the best solution cost (or a huge value if infeasible, i.e. some
+// demand exceeds capacity).
+double cvrp_solve(int n, const double* dist, const double* demands,
+                  double capacity, int max_iters, int no_improve_limit,
+                  double time_limit_s, unsigned int seed, int ls_count,
+                  int k_granular, int* routes_flat, int* route_lens,
+                  int* n_routes_out) {
+  Problem P{n, dist, demands, capacity, k_granular > 0 ? k_granular : 20, {}};
+  P.build_neighbors();
+  std::mt19937 rng(seed);
+  const int MU = 12, LAMBDA = 20, NB_ELITE = 4, NB_CLOSE = 3;
+
+  auto t0 = std::chrono::steady_clock::now();
+  auto elapsed = [&] {
+    return std::chrono::duration<double>(
+               std::chrono::steady_clock::now() - t0).count();
+  };
+
+  // Educate an individual: local search on its routes, then rebuild the
+  // giant tour from the improved routes (chromT <- chromR, as in HGS).
+  auto educate = [&](Indiv& ind) {
+    Solution S;
+    S.routes = ind.routes;
+    S.rebuild(P);
+    improve(P, S, ls_count, true);
+    ind.routes.clear();
+    ind.tour.clear();
+    for (auto& r : S.routes)
+      if (!r.empty()) {
+        ind.routes.push_back(r);
+        ind.tour.insert(ind.tour.end(), r.begin(), r.end());
+      }
+    ind.cost = total_cost(P, S);
+  };
+
+  std::vector<int> base;
+  for (int v = 1; v < n; ++v) base.push_back(v);
+
+  Population pop{n, MU, NB_ELITE, NB_CLOSE, {}};
+  Indiv best;
+  for (int i = 0; i < MU && (int)base.size() > 0; ++i) {
+    std::vector<int> tour = base;
+    std::shuffle(tour.begin(), tour.end(), rng);
+    Indiv ind;
+    if (!split_tour(P, tour, ind)) return 1e30;
+    educate(ind);
+    if (ind.cost < best.cost) best = ind;
+    pop.pool.push_back(std::move(ind));
+  }
+  if (base.empty()) { *n_routes_out = 0; return 0.0; }
+
+  int since_best = 0;
+  for (int it = 0; it < max_iters && since_best < no_improve_limit; ++it) {
+    if (time_limit_s > 0 && elapsed() > time_limit_s) break;
+    auto bf = pop.biased_fitness();
+    const Indiv& pa = pop.tournament(rng, bf);
+    const Indiv& pb = pop.tournament(rng, bf);
+    Indiv child;
+    if (!split_tour(P, ox_crossover(pa.tour, pb.tour, n, rng), child))
+      continue;
+    educate(child);
+    if (child.cost < best.cost - 1e-9) {
+      best = child;
+      since_best = 0;
+    } else {
+      ++since_best;
+    }
+    pop.pool.push_back(std::move(child));
+    if ((int)pop.pool.size() >= MU + LAMBDA) pop.select_survivors();
+  }
+
+  int off = 0, out_r = 0;
+  for (auto& r : best.routes) {
+    std::memcpy(routes_flat + off, r.data(), r.size() * sizeof(int));
+    route_lens[out_r++] = (int)r.size();
+    off += (int)r.size();
+  }
+  *n_routes_out = out_r;
+  return best.cost;
 }
 
 // Total cost of an encoded solution (for tests/debugging).

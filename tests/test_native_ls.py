@@ -117,3 +117,42 @@ def test_multiple_swap_star_batch():
         check_feasible(routes, demands, 20)
         assert (solution_cost(d, routes)
                 <= solution_cost(d, hgs.path_to_routes(paths[:, a])) + 1e-9)
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_hgs_solve_full_genetic(seed):
+    """Full HGS (Split + OX + education + biased-fitness population) must be
+    feasible, deterministic under a seed, and beat pure local search from a
+    random start (the GA tier the reference exposes via solve_cvrp,
+    C_Interface.cpp:50-127)."""
+    d, demands = make_instance(30, seed)
+    routes, cost = hgs.solve_cvrp(demands, d, max_iters=300,
+                                  no_improve_limit=120, seed=seed)
+    np.testing.assert_allclose(cost, solution_cost(d, routes), rtol=1e-9)
+    check_feasible(routes, demands, 30)
+    # deterministic under the same seed
+    routes2, cost2 = hgs.solve_cvrp(demands, d, max_iters=300,
+                                    no_improve_limit=120, seed=seed)
+    assert cost2 == cost
+    assert [r.tolist() for r in routes2] == [r.tolist() for r in routes]
+    # the GA must match or beat one local-search descent from a random start
+    start = random_routes(demands, seed=seed)
+    ls_only = solution_cost(d, hgs.swapstar(demands, d, start, count=100000))
+    assert cost <= ls_only + 1e-9
+
+
+def test_hgs_solve_tiny_and_single_route():
+    """Degenerate sizes: one customer, and all customers fitting one route."""
+    d = np.array([[0.0, 1.0], [1.0, 0.0]])
+    demands = np.array([0.0, 0.3])
+    routes, cost = hgs.solve_cvrp(demands, d, max_iters=10,
+                                  no_improve_limit=5)
+    assert [r.tolist() for r in routes] == [[1]]
+    np.testing.assert_allclose(cost, 2.0)
+
+    d2, dem2 = make_instance(6, 4)
+    dem2 = dem2 / 10.0  # everything fits one vehicle
+    routes2, cost2 = hgs.solve_cvrp(dem2, d2, max_iters=200,
+                                    no_improve_limit=80, seed=1)
+    check_feasible(routes2, dem2, 6)
+    assert len(routes2) == 1
