@@ -49,6 +49,19 @@ def build_parser() -> argparse.ArgumentParser:
     te.add_argument("--local-search", choices=["2opt", "nls"], default=None,
                     help="TSP only: apply on-device local search in the run "
                          "loop (the tsp_nls protocol, tsp_nls/test.py:49-56)")
+
+    sv = sub.add_parser(
+        "solve-cvrp",
+        help="standalone hybrid genetic search on a CVRPLib .vrp file "
+             "(the reference's HGS binary, HGS-CVRP-main/Program/main.cpp)")
+    sv.add_argument("instance", help="CVRPLib .vrp file")
+    sv.add_argument("--max-iters", type=int, default=5000)
+    sv.add_argument("--no-improve", type=int, default=1000)
+    sv.add_argument("--time-limit", type=float, default=0.0,
+                    help="seconds; 0 disables")
+    sv.add_argument("--seed", type=int, default=0)
+    sv.add_argument("--round", action="store_true",
+                    help="round distances to integers (CVRPLib convention)")
     return p
 
 
@@ -170,10 +183,37 @@ def _cmd_test_tsp_ls(args, ds) -> None:
                       "duration_s": duration}))
 
 
+def cmd_solve_cvrp(args) -> None:
+    """Solve one CVRPLib instance with the native HGS tier and print the
+    solution in CVRPLib format ("Route #i: ..." + "Cost ..."), matching the
+    reference binary's exportCVRPLibFormat output (Individual.cpp)."""
+    from deepaco_tpu.ls.hgs import solve_cvrp
+    from deepaco_tpu.utils.convert import parse_cvrplib
+
+    with open(args.instance) as f:
+        inst = parse_cvrplib(f.read())
+    coords = inst["coords"]
+    dist = np.linalg.norm(coords[:, None] - coords[None], axis=-1)
+    if args.round:
+        dist = np.round(dist)
+    t0 = time.time()
+    routes, cost = solve_cvrp(
+        inst["demands"], dist, capacity=inst["capacity"],
+        max_iters=args.max_iters, no_improve_limit=args.no_improve,
+        time_limit_s=args.time_limit, seed=args.seed)
+    duration = time.time() - t0
+    for i, r in enumerate(routes):
+        print(f"Route #{i + 1}: " + " ".join(str(int(c)) for c in r))
+    print(f"Cost {cost:.2f}")
+    print(f"Time {duration:.2f}")
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     if args.command == "train":
         cmd_train(args)
+    elif args.command == "solve-cvrp":
+        cmd_solve_cvrp(args)
     else:
         cmd_test(args)
 

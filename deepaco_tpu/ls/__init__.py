@@ -1,5 +1,6 @@
 from deepaco_tpu.ls.hgs import (
     multiple_swap_star,
+    solve_cvrp,
     neural_swapstar,
     path_to_routes,
     routes_to_path,
@@ -8,6 +9,7 @@ from deepaco_tpu.ls.hgs import (
 
 __all__ = [
     "multiple_swap_star",
+    "solve_cvrp",
     "neural_swapstar",
     "path_to_routes",
     "routes_to_path",

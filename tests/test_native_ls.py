@@ -156,3 +156,36 @@ def test_hgs_solve_tiny_and_single_route():
                                     no_improve_limit=80, seed=1)
     check_feasible(routes2, dem2, 6)
     assert len(routes2) == 1
+
+
+def test_cvrplib_parse_and_solve_cli(tmp_path, capsys):
+    """CVRPLib .vrp reader + standalone solve CLI (the reference's HGS binary
+    surface, InstanceCVRPLIB.cpp/main.cpp — SURVEY §2.2 N6)."""
+    from deepaco_tpu.cli import main
+    from deepaco_tpu.utils.convert import parse_cvrplib
+
+    vrp = "\n".join([
+        "NAME : toy", "TYPE : CVRP", "DIMENSION : 6",
+        "EDGE_WEIGHT_TYPE : EUC_2D", "CAPACITY : 30",
+        "NODE_COORD_SECTION",
+        "1 50 50", "2 10 10", "3 90 10", "4 90 90", "5 10 90", "6 55 55",
+        "DEMAND_SECTION",
+        "1 0", "2 10", "3 10", "4 10", "5 10", "6 10",
+        "DEPOT_SECTION", " 1", " -1", "EOF", ""])
+    inst = parse_cvrplib(vrp)
+    assert inst["capacity"] == 30
+    assert inst["demands"][0] == 0.0 and inst["demands"][1:].sum() == 50
+    np.testing.assert_allclose(inst["coords"][0], [50, 50])
+
+    path = tmp_path / "toy.vrp"
+    path.write_text(vrp)
+    main(["solve-cvrp", str(path), "--max-iters", "200",
+          "--no-improve", "80", "--seed", "1"])
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.startswith("Route #")]
+    served = sorted(int(c) for ln in lines for c in ln.split(":")[1].split())
+    assert served == [1, 2, 3, 4, 5], out
+    cost = float([ln for ln in out.splitlines()
+                  if ln.startswith("Cost")][0].split()[1])
+    # hand-checked optimum for this symmetric toy is ~386.27
+    assert cost <= 500.0
