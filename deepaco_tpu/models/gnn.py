@@ -112,12 +112,39 @@ class TorchBatchNorm(nn.Module):
         return (x - mean) * inv * scale + bias
 
 
+class _DenseParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Dense`` (identical param tree:
+    kernel/bias under the module name) so fused Pallas kernels can consume
+    the weights directly while checkpoints stay interchangeable."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class EmbNet(nn.Module):
     """Edge-embedding GNN: gated residual layers → per-block edge embeddings.
 
     Node update: ``x ← x + act(BN(W1 x + mean_k(σ(w) ⊙ W2 x[nbr])))``
     Edge update: ``w ← w + act(BN(W5 w + W3 x[src] + W4 x[dst]))``
     (reference tsp/net.py:34-44).
+
+    ``use_pallas``: None (auto) fuses each layer's gather phase — the two
+    neighbor gathers + gate/mean + e_lin matmul — into one Pallas kernel
+    (ops/pallas_kernels.fused_gnn_layer, a single one-hot MXU pass) on TPU
+    inference for regular single-block graphs; 3x faster than the XLA gather
+    path at TSP500 shapes and exact to ~1e-6 (it accumulates in fp32 HIGHEST,
+    tighter than XLA's default-precision matmul). True forces it (tests run
+    it in interpreter mode on CPU); False always uses the XLA path. The
+    fused path is inference-only (pallas_call has no reverse-mode AD), hence
+    the ``not train`` gate in auto mode; training keeps the XLA path.
     """
 
     depth: int = 12
@@ -125,6 +152,7 @@ class EmbNet(nn.Module):
     act: str = "silu"
     node_update: bool = True   # False for SOP/SMTWTP variants
     dtype: Any = jnp.float32
+    use_pallas: bool | None = None
 
     @nn.compact
     def __call__(self, g, *, train: bool = False):
@@ -145,12 +173,33 @@ class EmbNet(nn.Module):
         def src_ids(b):
             return jnp.arange(n) if b.src is None else b.src
 
+        fused = (self.use_pallas is True) or (
+            self.use_pallas is None and not train
+            and jax.default_backend() == "tpu")
+        fused = (fused and self.node_update and len(blocks) == 1
+                 and blocks[0].src is None and blocks[0].mask is None)
+
         for i in range(self.depth):
             x0, ws0 = x, ws
             x1 = dense(f"v_lins1_{i}")(x0)
             x2 = dense(f"v_lins2_{i}")(x0)
             x3 = dense(f"v_lins3_{i}")(x0)
             x4 = dense(f"v_lins4_{i}")(x0)
+
+            if fused:
+                from deepaco_tpu.ops.pallas_kernels import fused_gnn_layer
+
+                ew, ebias = _DenseParams(self.units, self.units,
+                                         name=f"e_lins0_{i}")()
+                agg, pre0 = fused_gnn_layer(
+                    x2, x3, x4, blocks[0].nbr, ws0[0],
+                    ew.astype(self.dtype), ebias.astype(self.dtype),
+                    use_pallas=True)
+                x = x0 + act(bn(f"v_bns_{i}", x1 + agg))
+                flat = bn(f"e_bns_{i}", pre0.reshape(-1, self.units))
+                ws = [ws0[0] + act(flat.reshape(pre0.shape))]
+                continue
+
             e_lin = dense(f"e_lins0_{i}")
 
             if self.node_update:
@@ -233,6 +282,7 @@ class Net(nn.Module):
     dual_heads: bool = False
     pad_feats: int = 0          # rcpsp pads node feats to this width if > 0
     dtype: Any = jnp.float32
+    use_pallas: bool | None = None   # see EmbNet.use_pallas
 
     @nn.compact
     def __call__(self, g, *, train: bool = False):
@@ -248,6 +298,7 @@ class Net(nn.Module):
                 g = g._replace(x=jnp.pad(g.x, ((0, 0), (0, pad))))
         emb = EmbNet(depth=self.depth, units=self.units,
                      node_update=self.node_update, dtype=self.dtype,
+                     use_pallas=self.use_pallas,
                      name="emb_net")(g, train=train)
         heu_head = ParNet(units=self.units, dtype=self.dtype,
                           name="par_net_heu")

@@ -138,3 +138,95 @@ def gated_mean_aggregate(x, nbr, w, use_pallas: bool | None = None):
     if _use_pallas(use_pallas):
         return gated_mean_aggregate_pallas(x, nbr, w)
     return gated_mean_aggregate_xla(x, nbr, w)
+
+
+# ------------------------------------------------------ fused GNN layer ----
+def _fused_layer_kernel(k_const, x24_ref, x3_ref, nbr_ref, w_ref, ew_ref,
+                        eb_ref, agg_ref, pre_ref):
+    """One EmbNet layer's gather phase for a row tile.
+
+    x24: [N, 2U] = concat(x2, x4) node tables (both gathers share nbr —
+         ONE one-hot MXU pass fetches both);
+    x3:  [T, U] source-node term rows for this tile (src = arange for the
+         regular k-NN case, so the tile slice IS the src gather);
+    nbr: [T, K]; w: [T, K*U] current edge embeddings (row-major slots);
+    ew/eb: e_lin weight [U, U] / bias [1, U].
+    Outputs: agg [T, U] = mean_k(sigmoid(w)*x2[nbr]);
+             pre [T, K*U] = e_lin(w) + x3[src] + x4[nbr].
+    """
+    t, k = nbr_ref.shape
+    n = x24_ref.shape[0]
+    u = x3_ref.shape[1]
+    acc = jnp.zeros((t, u), jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, n), 1)
+    base = x3_ref[:] + eb_ref[0, :][None, :]
+    for j in range(k_const):
+        onehot = (cols == nbr_ref[:, j][:, None]).astype(x24_ref.dtype)
+        both = jnp.dot(onehot, x24_ref[:],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)      # [T, 2U]
+        w0 = w_ref[:, j * u:(j + 1) * u]
+        acc = acc + jax.nn.sigmoid(w0) * both[:, :u]
+        lin = jnp.dot(w0, ew_ref[:], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        pre_ref[:, j * u:(j + 1) * u] = lin + base + both[:, u:]
+    agg_ref[:] = acc * (1.0 / k_const)
+
+
+def fused_gnn_layer_pallas(x2, x3, x4, nbr, w, ew, eb, tile: int = 128):
+    """Gather phase of one EmbNet layer, fused over row tiles.
+
+    Returns ``(agg [R, U], pre [R, K, U])`` — see `_fused_layer_kernel`.
+    The [N, U] node tables stay VMEM-resident; the two neighbor gathers ride
+    the MXU as one one-hot matmul per neighbor slot.
+    """
+    n, u = x2.shape
+    rows, k = nbr.shape
+    x24 = jnp.concatenate([x2, x4], axis=1)                      # [N, 2U]
+    pad = (-rows) % tile
+    if pad:
+        nbr = jnp.pad(nbr, ((0, pad), (0, 0)))
+        w = jnp.pad(w, ((0, pad), (0, 0), (0, 0)))
+        x3 = jnp.pad(x3, ((0, pad), (0, 0)))
+    grid = (nbr.shape[0] // tile,)
+    w_flat = w.reshape(nbr.shape[0], k * u)
+    agg, pre = pl.pallas_call(
+        functools.partial(_fused_layer_kernel, int(k)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((n, 2 * u), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, u), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, k * u), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, u), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, u), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, k * u), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((nbr.shape[0], u), x2.dtype),
+                   jax.ShapeDtypeStruct((nbr.shape[0], k * u), x2.dtype)),
+        interpret=jax.default_backend() == "cpu",
+    )(x24, x3, nbr, w_flat, ew, eb.reshape(1, u))
+    return agg[:rows], pre[:rows].reshape(rows, k, u)
+
+
+def fused_gnn_layer_xla(x2, x3, x4, nbr, w, ew, eb):
+    """Reference XLA path — identical math to models/gnn.py's layer body."""
+    agg = jnp.mean(jax.nn.sigmoid(w) * x2[nbr], axis=1)
+    pre = w @ ew + eb + x3[:, None, :] + x4[nbr]
+    return agg, pre
+
+
+def fused_gnn_layer(x2, x3, x4, nbr, w, ew, eb,
+                    use_pallas: bool | None = None):
+    if _use_pallas(use_pallas):
+        return fused_gnn_layer_pallas(x2, x3, x4, nbr, w, ew, eb)
+    return fused_gnn_layer_xla(x2, x3, x4, nbr, w, ew, eb)

@@ -79,3 +79,46 @@ def test_fused_pick_agrees_with_xla_on_greedy_rows():
     np.testing.assert_array_equal(np.asarray(actions_p), np.arange(a))
     np.testing.assert_allclose(np.asarray(logp_p), np.asarray(logp_x),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_gnn_layer_matches_xla():
+    """fused_gnn_layer (one one-hot MXU pass for both neighbor gathers +
+    gate/mean + e_lin) must reproduce the XLA layer math elementwise."""
+    from deepaco_tpu.ops.pallas_kernels import (fused_gnn_layer_pallas,
+                                                fused_gnn_layer_xla)
+    rng = np.random.default_rng(0)
+    n, k, u = 50, 7, 32
+    x2 = jnp.asarray(rng.standard_normal((n, u)), jnp.float32)
+    x3 = jnp.asarray(rng.standard_normal((n, u)), jnp.float32)
+    x4 = jnp.asarray(rng.standard_normal((n, u)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((n, k, u)), jnp.float32)
+    nbr = jnp.asarray(rng.integers(0, n, (n, k)), jnp.int32)
+    ew = jnp.asarray(rng.standard_normal((u, u)) * 0.1, jnp.float32)
+    eb = jnp.asarray(rng.standard_normal(u) * 0.1, jnp.float32)
+    agg_x, pre_x = fused_gnn_layer_xla(x2, x3, x4, nbr, w, ew, eb)
+    agg_p, pre_p = fused_gnn_layer_pallas(x2, x3, x4, nbr, w, ew, eb)
+    np.testing.assert_allclose(np.asarray(agg_p), np.asarray(agg_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pre_p), np.asarray(pre_x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_model_path_matches_checkpoint_activations():
+    """Net(use_pallas=True) must reproduce the reference checkpoint's
+    activations (the fused path is the TPU inference default)."""
+    from deepaco_tpu.core.graph import knn_graph
+    from deepaco_tpu.models.gnn import Net
+    from deepaco_tpu.models.torch_compat import load_reference_checkpoint
+    from deepaco_tpu.utils.datasets import distance_matrix
+
+    variables = load_reference_checkpoint(
+        "/root/reference/pretrained/tsp/tsp20.pt")
+    coords = jax.random.uniform(jax.random.PRNGKey(0), (20, 2))
+    g = knn_graph(coords, distance_matrix(coords), 10)
+    phe_r, heu_r = Net(dual_heads=True).apply(variables, g, train=False)
+    phe_f, heu_f = Net(dual_heads=True, use_pallas=True).apply(
+        variables, g, train=False)
+    np.testing.assert_allclose(np.asarray(heu_f), np.asarray(heu_r),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(phe_f), np.asarray(phe_r),
+                               rtol=1e-4, atol=1e-6)
