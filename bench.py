@@ -35,6 +35,10 @@ def tpu_run():
     whose per-transfer latency is ~50 ms — real deployments keep the anytime
     sweep resident on device exactly like this.)"""
     import jax
+
+    # hardware RNG for the construction sweep's Gumbel noise: ~10% faster
+    # than threefry on TPU, identical sampling distribution in law
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
     from deepaco_tpu.aco.runner import ACOConfig
     from deepaco_tpu.eval.anytime import _eval_neural

@@ -109,8 +109,15 @@ def _load_variables(args):
 
 
 def cmd_test(args) -> None:
+    import jax
+
     from deepaco_tpu.train.drivers import evaluate_family
     from deepaco_tpu.utils import golden
+
+    if jax.default_backend() == "tpu":
+        # hardware RNG beats threefry ~10% on the construction sweep;
+        # sampling distribution is unchanged in law
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     ds = golden.GOLDEN[args.problem](args.nodes)
     if args.limit:

@@ -1,19 +1,31 @@
 """Pallas TPU kernels for the hot compute paths.
 
-Two fused kernels (each with a pure-XLA reference implementation used for
-testing and as the default fallback — flip ``use_pallas=True`` or set
-``DEEPACO_PALLAS=1`` to run them):
+Each kernel has a pure-XLA reference implementation used for testing and as
+the fallback (flip ``use_pallas=True`` / ``DEEPACO_PALLAS=1``, or the
+module-level auto gates):
 
 * :func:`fused_pick` — one construction-step sampler: masked logits + Gumbel
-  noise (on-chip PRNG) + argmax + log-softmax-at-argmax in a single VMEM pass
-  over the ``[A, N]`` candidate tile. This is the body of the rollout scan
-  (deepaco_tpu/aco/engine.py), executed n-1 times per iteration.
+  noise + argmax + log-softmax-at-argmax in a single VMEM pass over the
+  ``[A, N]`` candidate tile.
 * :func:`gated_mean_aggregate` — the GNN's edge aggregation
-  ``mean_k(sigmoid(w[i,k,:]) * x[nbr[i,k], :])``: the gather, gate, multiply
-  and mean fuse into one kernel over row tiles, with the full ``[N, U]`` node
-  table resident in VMEM (U=32: 500 nodes = 64 KB).
+  ``mean_k(sigmoid(w[i,k,:]) * x[nbr[i,k], :])`` fused over row tiles with
+  the ``[N, U]`` node table VMEM-resident.
+* :func:`fused_gnn_layer` — the production GNN kernel (models/gnn.py wires
+  it in automatically for TPU inference): BOTH neighbor gathers of an EmbNet
+  layer + the sigmoid-gate/mean + the e_lin matmul in one one-hot MXU pass —
+  3x faster than the XLA gather path at TSP500 shapes, exact to ~1e-6, and
+  *more* accurate than XLA's default-precision path (fp32 HIGHEST
+  accumulation). Measured: TSP500 bench 15.3k -> 21.4k tours/s/chip.
+* :func:`tsp_sweep_construct_pallas` — a WHOLE TSP construction (all n-1
+  categorical steps) in one kernel: score matrix, visit mask and one-hot
+  current city stay in VMEM; rows are fetched by one-hot MXU matmul; Gumbel
+  noise comes from the on-chip PRNG; the loop never touches HBM. Exact
+  greedy parity with engine.greedy_rollout. NOTE: at batch (B~100 instances)
+  the engine's batched XLA scan is faster — one program per instance
+  serializes on the core — so this kernel is the single-instance low-latency
+  serving path, not the bench path.
 
-Both kernels are exact (not approximations) — tests compare them elementwise
+All kernels are exact (not approximations) — tests compare them elementwise
 against the XLA paths in interpreter mode, so they run in CI without a TPU.
 """
 from __future__ import annotations
@@ -230,3 +242,81 @@ def fused_gnn_layer(x2, x3, x4, nbr, w, ew, eb,
     if _use_pallas(use_pallas):
         return fused_gnn_layer_pallas(x2, x3, x4, nbr, w, ew, eb)
     return fused_gnn_layer_xla(x2, x3, x4, nbr, w, ew, eb)
+
+
+# ------------------------------------------------ construction sweep -------
+def _tsp_sweep_kernel(stochastic, score_ref, start_ref, seed_ref, paths_ref,
+                      cur_ref, mask_ref):
+    """Whole TSP construction (n-1 categorical steps) for one instance.
+
+    Everything stays in VMEM: the [N, N] score matrix, the [A, N] visit mask
+    and the one-hot current-city matrix. Per step: current rows are fetched
+    with a one-hot MXU matmul (exact), Gumbel noise comes from the on-chip
+    PRNG, argmax + mask update are VPU passes. The only HBM writes are one
+    [1, A] paths row per step — the construction loop never touches HBM.
+    """
+    n = score_ref.shape[0]
+    a = start_ref.shape[1]
+    if stochastic:
+        pltpu.prng_seed(seed_ref[0, 0])
+    cols = jax.lax.broadcasted_iota(jnp.int32, (a, n), 1)
+    start = start_ref[0, :]
+    cur_ref[:] = (cols == start[:, None]).astype(jnp.float32)
+    mask_ref[:] = 1.0 - cur_ref[:]
+    paths_ref[0, :] = start
+
+    def step(i, _):
+        rows = jnp.dot(cur_ref[:], score_ref[:],
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)     # [A, N]
+        logits = jnp.where(mask_ref[:] > 0, rows, NEG_INF)
+        if stochastic:
+            bits = pltpu.prng_random_bits((a, n))
+            # mask to 23 bits (int32 >> would sign-extend) -> u in (0, 1)
+            u = ((bits & 0x7FFFFF).astype(jnp.float32) * (2.0 ** -23)
+                 + 2.0 ** -24)
+            logits = logits - jnp.log(-jnp.log(u))
+        amax = jnp.max(logits, axis=1, keepdims=True)
+        at_max = logits == amax
+        # break ties toward the first column: min index among the maxima
+        action = jnp.min(jnp.where(at_max, cols, n), axis=1)     # [A]
+        oh = (cols == action[:, None]).astype(jnp.float32)
+        paths_ref[pl.ds(i + 1, 1), :] = action[None, :]
+        mask_ref[:] = mask_ref[:] * (1.0 - oh)
+        cur_ref[:] = oh
+        return 0
+
+    jax.lax.fori_loop(0, n - 1, step, 0)
+
+
+def tsp_sweep_construct_pallas(score, start, seed, *, stochastic=True):
+    """Construct full tours for all ants of one instance in ONE kernel.
+
+    score: [N, N] combined log-score matrix (alpha*log tau + beta*log heu);
+    start: [A] int32 start cities; seed: int32 scalar for the on-chip PRNG
+    (ignored when stochastic=False — greedy decode, used by CI parity tests
+    since the TPU PRNG is unavailable in interpreter mode).
+    Returns paths [N, A] int32 (row 0 = start), matching engine.rollout's
+    layout for the TSP spec.
+    """
+    n = score.shape[0]
+    a = start.shape[0]
+    a_pad = (-a) % 8
+    if a_pad:
+        start = jnp.pad(start, (0, a_pad))
+    ap = start.shape[0]
+    paths = pl.pallas_call(
+        functools.partial(_tsp_sweep_kernel, stochastic),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, ap), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((ap, n), jnp.float32),
+                        pltpu.VMEM((ap, n), jnp.float32)],
+        interpret=jax.default_backend() == "cpu",
+    )(score, start.reshape(1, ap).astype(jnp.int32),
+      jnp.reshape(seed, (1, 1)).astype(jnp.int32))
+    return paths[:, :a]

@@ -122,3 +122,29 @@ def test_fused_model_path_matches_checkpoint_activations():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(phe_f), np.asarray(phe_r),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_tsp_sweep_construct_greedy_parity():
+    """The single-kernel TSP construction sweep (whole n-1-step loop in
+    VMEM) must reproduce the engine's greedy decode exactly. The stochastic
+    path needs the on-chip PRNG (real TPU; validated there: tours are
+    permutations, seeds are deterministic and distinct across ants). At
+    batch the XLA batched scan wins — this kernel is the single-instance
+    low-latency path."""
+    from deepaco_tpu.aco.engine import greedy_rollout
+    from deepaco_tpu.aco.problems.tsp import tsp_spec
+    from deepaco_tpu.ops.pallas_kernels import tsp_sweep_construct_pallas
+
+    n, a = 30, 4
+    key = jax.random.PRNGKey(0)
+    score = jax.random.normal(key, (n, n), jnp.float32)
+    tau = jnp.ones((n, n))
+    heu = jnp.exp(score)  # => combined score == `score` (alpha*log tau = 0)
+    ro = greedy_rollout(tsp_spec(tau, heu, a, fixed_start=0),
+                        jax.random.PRNGKey(1))
+    got = tsp_sweep_construct_pallas(score, jnp.zeros(a, jnp.int32),
+                                     jnp.int32(0), stochastic=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ro.paths))
+    # every greedy tour is a permutation
+    for c in range(a):
+        assert sorted(np.asarray(got)[:, c].tolist()) == list(range(n))
