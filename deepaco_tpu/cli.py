@@ -88,12 +88,29 @@ def cmd_train(args) -> None:
     print(f"saved {out}")
 
 
+def _default_ckpt(problem: str, nodes: int) -> str:
+    """Mirror the reference test drivers' default: the pretrained torch
+    checkpoint for (problem, scale) (tsp_nls/test.py:75, cvrp/test.py)."""
+    import os
+
+    cands = [f"/root/reference/pretrained/{problem}/{problem}{nodes}.pt",
+             f"checkpoints/{problem}{nodes}.msgpack"]
+    for c in cands:
+        if os.path.exists(c):
+            return c
+    raise SystemExit(
+        f"no checkpoint for {problem}{nodes}: pass --ckpt, --classic, or "
+        f"train one (looked at {cands})")
+
+
 def _load_variables(args):
     from deepaco_tpu.families import get_family
     from deepaco_tpu.train.config import ACOSettings, ProblemConfig, TrainConfig
     from deepaco_tpu.train.drivers import family_model, init_family_state
     from deepaco_tpu.utils.checkpoint import load_checkpoint
 
+    if args.ckpt is None:
+        args.ckpt = _default_ckpt(args.problem, args.nodes)
     if args.ckpt.endswith(".pt"):
         from deepaco_tpu.models.torch_compat import load_reference_checkpoint
 

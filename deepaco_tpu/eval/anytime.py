@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from deepaco_tpu.aco.runner import ACOConfig, init_search, run_anytime
+from deepaco_tpu.aco.batched_tsp import run_anytime_batched
 from deepaco_tpu.aco.problems.tsp import tour_cost, tsp_spec
 from deepaco_tpu.core.graph import knn_graph, scatter_to_dense, sparse_distance_matrix
 from deepaco_tpu.utils.datasets import distance_matrix
@@ -34,28 +35,29 @@ def tsp_instance_curve(heu, dist, cfg: ACOConfig, rng, t_max: int):
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _eval_neural(model, cfg: ACOConfig, k_sparse: int, t_max: int,
                  variables, coords_batch, rng):
-    def per_instance(coords, key):
+    """Neural anytime sweep on the batched dense runner (whole dataset =
+    one scan; hoisted log-heuristic; bfloat16 sampling — see
+    :mod:`deepaco_tpu.aco.batched_tsp`)."""
+    def per_instance(coords):
         dist = distance_matrix(coords)
         g = knn_graph(coords, dist, k_sparse)
         out = model.apply(variables, g, train=False)
         heu_vec = out[1] if isinstance(out, tuple) else out
-        heu = scatter_to_dense(g, heu_vec) + 1e-10
-        return tsp_instance_curve(heu, dist, cfg, key, t_max)
+        return scatter_to_dense(g, heu_vec) + 1e-10, dist
 
-    keys = jax.random.split(rng, coords_batch.shape[0])
-    return jax.vmap(per_instance)(coords_batch, keys)
+    heu, dist = jax.vmap(per_instance)(coords_batch)
+    return run_anytime_batched(heu, dist, cfg, rng, t_max)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _eval_classic(cfg: ACOConfig, k_sparse: int, t_max: int,
                   coords_batch, rng):
-    def per_instance(coords, key):
+    def per_instance(coords):
         dist = distance_matrix(coords)
-        heu = 1.0 / sparse_distance_matrix(dist, k_sparse)
-        return tsp_instance_curve(heu, dist, cfg, key, t_max)
+        return 1.0 / sparse_distance_matrix(dist, k_sparse), dist
 
-    keys = jax.random.split(rng, coords_batch.shape[0])
-    return jax.vmap(per_instance)(coords_batch, keys)
+    heu, dist = jax.vmap(per_instance)(coords_batch)
+    return run_anytime_batched(heu, dist, cfg, rng, t_max)
 
 
 def evaluate_tsp(coords_batch, *, model=None, variables=None,

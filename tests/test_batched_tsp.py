@@ -1,0 +1,207 @@
+"""Batched TSP runners (aco/batched_tsp.py) vs the per-instance dense engine.
+
+The batched dense runner is the inference fast path behind the headline
+bench; the sparse runner is the retained k-NN-support experiment. Tests pin
+(a) exact greedy equality with the dense engine (fp32), (b) feasibility under
+forced dense fallback (tiny K), (c) anytime-curve agreement with the
+per-instance runner for both variants, and (d) bf16 sampling staying
+distributionally faithful.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepaco_tpu.aco.engine import greedy_rollout
+from deepaco_tpu.aco.problems.tsp import score_matrix, tsp_spec
+from deepaco_tpu.aco.runner import ACOConfig, init_search, run_anytime
+from deepaco_tpu.aco.batched_tsp import (dense_sweep, run_anytime_batched,
+                                         run_anytime_sparse, sweep_construct)
+from deepaco_tpu.core.graph import knn_graph, sparse_distance_matrix
+from deepaco_tpu.eval.anytime import tsp_instance_curve
+from deepaco_tpu.utils.datasets import distance_matrix
+
+
+def _random_batch(key, b, n):
+    coords = jax.random.uniform(key, (b, n, 2))
+    dist = jax.vmap(distance_matrix)(coords)
+    return coords, dist
+
+
+def _knn_batch(coords, dist, k):
+    return jax.vmap(lambda c, d: knn_graph(c, d, k).nbr)(coords, dist)
+
+
+def test_greedy_matches_dense_engine_full_support():
+    """With K=N the sparse greedy sweep must reproduce the dense engine's
+    greedy tours exactly (same argmax over the same candidate set)."""
+    b, n, a = 3, 12, 5
+    key = jax.random.PRNGKey(0)
+    coords, dist = _random_batch(key, b, n)
+    heu = 1.0 / dist
+    nbr = _knn_batch(coords, dist, n)  # full support (diag sentinel keeps
+    # self-loops last but still present; the visit mask removes them)
+    tau = jnp.ones((b, n, n))
+    score_d = jax.vmap(score_matrix, in_axes=(0, 0, None, None))(
+        tau, heu, 1.0, 1.0)
+    score_s = jnp.take_along_axis(score_d, nbr, axis=-1)
+    start = jnp.tile(jnp.arange(a)[None], (b, 1))
+
+    paths = sweep_construct(score_d, score_s, nbr, start,
+                            jax.random.PRNGKey(1), stochastic=False)
+
+    for i in range(b):
+        spec = tsp_spec(tau[i], heu[i], a, fixed_start=0)
+        # greedy_rollout ignores the random start; rebuild with matching start
+        spec = spec._replace(init=lambda rng, i=i: (
+            (start[i], 1.0 - jax.nn.one_hot(start[i], n)), start[i]))
+        ref = greedy_rollout(spec, jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(np.asarray(paths[i]),
+                                      np.asarray(ref.paths))
+
+
+def test_forced_fallback_still_yields_permutations():
+    """K=2 on N=16: ants exhaust their neighbor lists constantly, so the dense
+    fallback branch carries most of the construction — every tour must still
+    be a valid permutation."""
+    b, n, a, k = 4, 16, 8, 2
+    key = jax.random.PRNGKey(2)
+    coords, dist = _random_batch(key, b, n)
+    heu = 1.0 / dist
+    nbr = _knn_batch(coords, dist, k)
+    score_d = jax.vmap(score_matrix, in_axes=(0, 0, None, None))(
+        jnp.ones((b, n, n)), heu, 1.0, 1.0)
+    score_s = jnp.take_along_axis(score_d, nbr, axis=-1)
+    start = jax.random.randint(jax.random.PRNGKey(3), (b, a), 0, n)
+
+    paths, n_dense = sweep_construct(score_d, score_s, nbr, start,
+                                     jax.random.PRNGKey(4), count_dense=True)
+    assert int(n_dense) > 0, "tiny K must exercise the dense fallback"
+    p = np.asarray(paths)
+    for i in range(b):
+        for j in range(a):
+            assert sorted(p[i, :, j].tolist()) == list(range(n))
+
+
+def test_sparse_step_never_picks_offsupport_or_visited():
+    """Greedy sparse steps select only unvisited k-NN neighbors."""
+    b, n, a, k = 2, 20, 6, 8
+    coords, dist = _random_batch(jax.random.PRNGKey(5), b, n)
+    heu = 1.0 / dist
+    nbr = _knn_batch(coords, dist, k)
+    score_d = jax.vmap(score_matrix, in_axes=(0, 0, None, None))(
+        jnp.ones((b, n, n)), heu, 1.0, 1.0)
+    score_s = jnp.take_along_axis(score_d, nbr, axis=-1)
+    start = jnp.zeros((b, a), jnp.int32)
+    paths, n_dense = sweep_construct(score_d, score_s, nbr, start,
+                                     jax.random.PRNGKey(6), count_dense=True)
+    p = np.asarray(paths)
+    nbr_np = np.asarray(nbr)
+    dense_total = int(n_dense)
+    # every consecutive (u, v) edge is either a k-NN edge or was produced by
+    # a (counted) dense-fallback step
+    off_support = 0
+    for i in range(b):
+        for j in range(a):
+            tour = p[i, :, j]
+            assert sorted(tour.tolist()) == list(range(n))
+            for t in range(n - 1):
+                if tour[t + 1] not in nbr_np[i, tour[t]]:
+                    off_support += 1
+    assert off_support <= dense_total * b * a
+
+
+def test_anytime_curve_matches_dense_runner_quality():
+    """Sparse vs dense anytime runners agree distributionally: same mean
+    best-so-far within a small tolerance on a TSP50 batch."""
+    b, n, k, t = 8, 50, 10, 8
+    cfg = ACOConfig(n_ants=16)
+    coords, dist = _random_batch(jax.random.PRNGKey(7), b, n)
+    # the fast path presumes a SPARSIFIED heuristic (off-support at the
+    # floor) — exactly what both the neural (scatter+1e-10) and classic
+    # (1/1e10) eval paths produce
+    heu = jax.vmap(lambda d: 1.0 / sparse_distance_matrix(d, k))(dist)
+    nbr = _knn_batch(coords, dist, k)
+
+    sparse_curve = jax.jit(functools.partial(
+        run_anytime_sparse, cfg=cfg, n_iterations=t))(
+            heu, dist, nbr, rng=jax.random.PRNGKey(8))
+
+    def dense_curve(h, d, key):
+        return tsp_instance_curve(h, d, cfg, key, t)
+
+    keys = jax.random.split(jax.random.PRNGKey(9), b)
+    dense = jax.jit(jax.vmap(dense_curve))(heu, dist, keys)
+
+    s = np.asarray(sparse_curve)
+    d = np.asarray(dense)
+    assert s.shape == (b, t)
+    # curves are monotone nonincreasing best-so-far
+    assert np.all(np.diff(s, axis=1) <= 1e-6)
+    # distributional agreement at start and end of the sweep
+    np.testing.assert_allclose(s[:, 0].mean(), d[:, 0].mean(), rtol=0.05)
+    np.testing.assert_allclose(s[:, -1].mean(), d[:, -1].mean(), rtol=0.05)
+
+
+def test_dense_sweep_greedy_matches_engine_fp32():
+    """fp32 batched dense greedy decode = the per-instance engine's greedy
+    rollout, city for city (same score values, same argmax tie-breaks)."""
+    b, n, a = 3, 14, 5
+    coords, dist = _random_batch(jax.random.PRNGKey(20), b, n)
+    heu = 1.0 / dist
+    tau = jnp.ones((b, n, n))
+    score = jax.vmap(score_matrix, in_axes=(0, 0, None, None))(
+        tau, heu, 1.0, 1.0)
+    start = jnp.tile(jnp.arange(a)[None], (b, 1))
+    paths = dense_sweep(score.astype(jnp.float32), start,
+                        jax.random.PRNGKey(21), stochastic=False)
+    for i in range(b):
+        spec = tsp_spec(tau[i], heu[i], a)
+        spec = spec._replace(init=lambda rng, i=i: (
+            (start[i], 1.0 - jax.nn.one_hot(start[i], n)), start[i]))
+        ref = greedy_rollout(spec, jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(np.asarray(paths[i]),
+                                      np.asarray(ref.paths))
+
+
+def test_dense_bf16_curve_matches_fp32_quality():
+    """bf16 sampling (the bench default) agrees with fp32 distributionally
+    and with the per-instance dense runner."""
+    b, n, k, t = 8, 50, 10, 8
+    cfg = ACOConfig(n_ants=16)
+    coords, dist = _random_batch(jax.random.PRNGKey(22), b, n)
+    heu = jax.vmap(lambda d: 1.0 / sparse_distance_matrix(d, k))(dist)
+
+    bf16 = jax.jit(functools.partial(
+        run_anytime_batched, cfg=cfg, n_iterations=t))(
+            heu, dist, rng=jax.random.PRNGKey(23))
+    fp32 = jax.jit(functools.partial(
+        run_anytime_batched, cfg=cfg, n_iterations=t,
+        sample_dtype=jnp.float32))(heu, dist, rng=jax.random.PRNGKey(24))
+
+    keys = jax.random.split(jax.random.PRNGKey(25), b)
+    dense = jax.jit(jax.vmap(
+        lambda h, d, key: tsp_instance_curve(h, d, cfg, key, t)))(
+            heu, dist, keys)
+
+    s16, s32, ref = (np.asarray(x) for x in (bf16, fp32, dense))
+    assert np.all(np.diff(s16, axis=1) <= 1e-6)
+    np.testing.assert_allclose(s16[:, 0].mean(), s32[:, 0].mean(), rtol=0.05)
+    np.testing.assert_allclose(s16[:, -1].mean(), s32[:, -1].mean(),
+                               rtol=0.05)
+    np.testing.assert_allclose(s16[:, -1].mean(), ref[:, -1].mean(),
+                               rtol=0.05)
+
+
+def test_fixed_start_and_minmax_strategies_run():
+    b, n, k, t = 2, 24, 8, 3
+    cfg = ACOConfig(n_ants=4, min_max=True, elitist=True)
+    coords, dist = _random_batch(jax.random.PRNGKey(10), b, n)
+    heu = jax.vmap(lambda d: 1.0 / d)(dist)
+    nbr = _knn_batch(coords, dist, k)
+    curve = run_anytime_sparse(heu, dist, nbr, cfg, jax.random.PRNGKey(11),
+                               t, fixed_start=0)
+    assert curve.shape == (b, t)
+    assert np.all(np.isfinite(np.asarray(curve)))
