@@ -85,7 +85,35 @@ def _batched_init(b, n, cfg):
     return jax.vmap(lambda _: init_search(n, n - 1, cfg))(jnp.arange(b))
 
 
+def _fused_update_ok(cfg) -> bool:
+    """The fused Pallas update covers exactly the plain-AS TSP strategy
+    (the bench/eval default); every other flag keeps the generic path."""
+    return (jax.default_backend() == "tpu" and not cfg.elitist
+            and not cfg.min_max and not cfg.maximize
+            and not cfg.vector_pheromone and not cfg.deposit_div_ants
+            and cfg.cost_offset == 0.0 and cfg.cyclic)
+
+
 def _batched_update(cfg, state, paths, dist):
+    if _fused_update_ok(cfg):
+        from deepaco_tpu.ops.pallas_kernels import fused_tsp_update_pallas
+
+        d, costs = jax.vmap(functools.partial(
+            fused_tsp_update_pallas, q=cfg.q))(paths, dist)
+        if cfg.symmetric:
+            d = d + jnp.swapaxes(d, -1, -2)
+        tau = state.phe.tau * cfg.decay + d
+        if cfg.floor > 0.0:
+            tau = jnp.maximum(tau, cfg.floor)
+        it_best = jnp.argmin(costs, axis=1)
+        it_cost = jnp.take_along_axis(costs, it_best[:, None], 1)[:, 0]
+        improved = it_cost < state.best_cost
+        best_cost = jnp.where(improved, it_cost, state.best_cost)
+        bpath = jnp.take_along_axis(
+            paths, it_best[:, None, None], axis=2)[:, :, 0]
+        best_path = jnp.where(improved[:, None], bpath, state.best_path)
+        return state._replace(phe=state.phe._replace(tau=tau),
+                              best_cost=best_cost, best_path=best_path)
     costs = jax.vmap(tour_cost)(dist, paths)             # [B, A]
     return jax.vmap(functools.partial(search_update, cfg))(
         state, paths, costs)
@@ -125,7 +153,11 @@ def dense_sweep(score: jax.Array, start: jax.Array, rng: jax.Array,
                          jnp.zeros((), dtype), mask)
         return (action, mask), action
 
-    _, actions = jax.lax.scan(step, (start, mask0), step_keys)
+    # unroll: the step body is tiny relative to the loop's fixed per-iteration
+    # cost (measured on TPU v5e at the bench shape: 43us/step at unroll=1,
+    # 29us/step at unroll=8; scan bookkeeping itself is negligible — the win
+    # is XLA scheduling/fusing across adjacent steps)
+    _, actions = jax.lax.scan(step, (start, mask0), step_keys, unroll=8)
     return jnp.transpose(jnp.concatenate([start[None], actions], axis=0),
                          (1, 0, 2))
 

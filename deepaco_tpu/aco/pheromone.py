@@ -50,7 +50,8 @@ def tour_edges(paths: jax.Array, cyclic: bool = True):
 
 
 def deposit(tau: jax.Array, paths: jax.Array, amounts: jax.Array, *,
-            cyclic: bool = True, symmetric: bool = True) -> jax.Array:
+            cyclic: bool = True, symmetric: bool = True,
+            use_pallas: bool | None = None) -> jax.Array:
     """Scatter-add ``amounts[a]`` onto every edge of ant ``a``'s path.
 
     The symmetric variant deposits one direction and adds the transpose:
@@ -58,10 +59,24 @@ def deposit(tau: jax.Array, paths: jax.Array, amounts: jax.Array, *,
     ``D + D^T`` exactly — and one 1M-element scatter + a transpose pass is
     ~40% cheaper than two scatters on TPU (scatters are per-element
     latency-bound; the transpose rides full HBM bandwidth).
+
+    On TPU with a full ant batch, even one scatter is the hot spot of the
+    whole ACO update, so the deposit routes to a scatter-free Pallas kernel
+    (one-hot endpoint matrices contracted on the MXU — exact up to fp32
+    summation order, see ``ops.pallas_kernels.tour_deposit_pallas``);
+    single-ant deposits (elitist) keep the scatter.
     """
-    u, v = tour_edges(paths, cyclic)
-    w = jnp.broadcast_to(amounts[:, None], u.shape)
-    d = jnp.zeros_like(tau).at[u, v].add(w)
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu" and tau.ndim == 2
+                      and paths.shape[1] > 1)
+    if use_pallas:
+        from deepaco_tpu.ops.pallas_kernels import tour_deposit_pallas
+
+        d = tour_deposit_pallas(paths, amounts, tau.shape[0], cyclic=cyclic)
+    else:
+        u, v = tour_edges(paths, cyclic)
+        w = jnp.broadcast_to(amounts[:, None], u.shape)
+        d = jnp.zeros_like(tau).at[u, v].add(w)
     if symmetric:
         d = d + jnp.swapaxes(d, -1, -2)
     return tau + d

@@ -244,6 +244,129 @@ def fused_gnn_layer(x2, x3, x4, nbr, w, ew, eb,
     return fused_gnn_layer_xla(x2, x3, x4, nbr, w, ew, eb)
 
 
+# ------------------------------------------------- pheromone deposit -------
+def _tour_deposit_kernel(u_ref, v_ref, w_ref, out_ref):
+    """All-ant tour deposit for one instance, scatter-free.
+
+    For each ant: build one-hot endpoint matrices ``UT/VT [N, L]`` from the
+    int32 edge lists with a broadcast compare (VPU), contract them over the
+    step axis on the MXU (``S[n1,n2] = #{l: u[l]=n1, v[l]=n2}``, exact 0/1
+    bf16 products with fp32 accumulation), and accumulate ``w[a] * S`` into
+    the fp32 output tile resident in VMEM. Replaces XLA's per-element scatter
+    (latency-bound at ~10ns/element: the [B=100,A=20,N=500] bench deposit cost
+    ~13.5ms/iteration; this kernel is MXU-throughput-bound instead).
+    """
+    a, l = u_ref.shape
+    n = out_ref.shape[0]
+    out_ref[:] = jnp.zeros((n, n), jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, l), 0)
+
+    def ant(i, _):
+        ut = (rows == u_ref[pl.ds(i, 1), :]).astype(jnp.bfloat16)
+        vt = (rows == v_ref[pl.ds(i, 1), :]).astype(jnp.bfloat16)
+        s = jax.lax.dot_general(ut, vt, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        out_ref[:] += w_ref[0, i] * s
+        return 0
+
+    jax.lax.fori_loop(0, a, ant, 0)
+
+
+def tour_deposit_pallas(paths: jax.Array, amounts: jax.Array, n: int,
+                        *, cyclic: bool = True) -> jax.Array:
+    """One-direction deposit matrix ``D[u,v] += amounts[a]`` over tour edges.
+
+    ``paths`` is ``[L, A]`` int32, ``amounts`` ``[A]`` float32. Edge lists
+    match :func:`deepaco_tpu.aco.pheromone.tour_edges`: cyclic pairs
+    ``(path[i], path[i-1])`` (tsp/aco.py:106) or the L-1 directed consecutive
+    pairs (cvrp/aco.py:111-115). Exact up to fp32 summation order — repeated
+    edges (CVRP depot self-loops in padded paths) accumulate per occurrence,
+    identical to the scatter. vmap-compatible (batches become grid dims).
+    """
+    u = paths.T.astype(jnp.int32)                       # [A, L]
+    if cyclic:
+        v = jnp.roll(u, shift=1, axis=1)
+    else:
+        # shift left; sentinel n in the last slot -> all-zero one-hot row
+        v = jnp.concatenate(
+            [u[:, 1:], jnp.full((u.shape[0], 1), n, jnp.int32)], axis=1)
+    return pl.pallas_call(
+        _tour_deposit_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(u, v, amounts.reshape(1, -1).astype(jnp.float32))
+
+
+def _fused_tsp_update_kernel(q, u_ref, v_ref, dist_ref, d_ref, costs_ref):
+    """Deposit + tour costs in one pass (see :func:`fused_tsp_update_pallas`).
+
+    While ant ``a``'s one-hot edge matrix ``S`` is VMEM-resident, its tour
+    cost is a free elementwise contraction ``sum(S * dist)`` — the exact same
+    edge set as ``problems.tsp.tour_cost`` (``d[u, roll(u,1)]`` summed). The
+    deposit amount ``q/cost`` is then applied in-kernel, eliminating both the
+    XLA scatter AND the 1M-element two-index cost gather from the ACO update.
+    """
+    a, l = u_ref.shape
+    n = d_ref.shape[0]
+    d_ref[:] = jnp.zeros((n, n), jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, l), 0)
+
+    def ant(i, _):
+        ut = (rows == u_ref[pl.ds(i, 1), :]).astype(jnp.bfloat16)
+        vt = (rows == v_ref[pl.ds(i, 1), :]).astype(jnp.bfloat16)
+        s = jax.lax.dot_general(ut, vt, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        cost = jnp.sum(s * dist_ref[:])
+        costs_ref[0, i] = cost
+        d_ref[:] += (q / cost) * s
+        return 0
+
+    jax.lax.fori_loop(0, a, ant, 0)
+
+
+def fused_tsp_update_pallas(paths: jax.Array, dist: jax.Array,
+                            q: float = 1.0):
+    """All-ant AS deposit matrix + cyclic tour costs for one instance.
+
+    ``paths`` is ``[N, A]`` int32 permutation tours, ``dist`` ``[N, N]``
+    float32. Returns ``(D [N, N] float32, costs [A] float32)`` where
+    ``D = sum_a (q / costs[a]) * onehot_edges_a`` (one direction; add the
+    transpose for the symmetric update) and ``costs`` equals
+    ``problems.tsp.tour_cost`` exactly (same edge list, fp32 sums).
+    """
+    n, a = paths.shape
+    u = paths.T.astype(jnp.int32)
+    v = jnp.roll(u, shift=1, axis=1)
+    d, costs = pl.pallas_call(
+        functools.partial(_fused_tsp_update_kernel, float(q)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((n, n), jnp.float32),
+                   jax.ShapeDtypeStruct((1, a), jnp.float32)],
+        interpret=jax.default_backend() == "cpu",
+    )(u, v, dist.astype(jnp.float32))
+    return d, costs[0]
+
+
+def tour_deposit_xla(tau_shape_n: int, paths: jax.Array, amounts: jax.Array,
+                     *, cyclic: bool = True) -> jax.Array:
+    """Scatter reference for :func:`tour_deposit_pallas` (tests/fallback)."""
+    u = paths.T
+    if cyclic:
+        v = jnp.roll(u, shift=1, axis=1)
+    else:
+        u, v = u[:, :-1], u[:, 1:]
+    w = jnp.broadcast_to(amounts[:, None], u.shape)
+    return jnp.zeros((tau_shape_n, tau_shape_n), jnp.float32).at[u, v].add(w)
+
+
 # ------------------------------------------------ construction sweep -------
 def _tsp_sweep_kernel(stochastic, score_ref, start_ref, seed_ref, paths_ref,
                       cur_ref, mask_ref):

@@ -148,3 +148,55 @@ def test_tsp_sweep_construct_greedy_parity():
     # every greedy tour is a permutation
     for c in range(a):
         assert sorted(np.asarray(got)[:, c].tolist()) == list(range(n))
+
+
+def test_tour_deposit_matches_scatter():
+    from deepaco_tpu.ops.pallas_kernels import (tour_deposit_pallas,
+                                                tour_deposit_xla)
+    rng = np.random.default_rng(7)
+    n, l, a = 37, 37, 6
+    # permutation tours (TSP-like)
+    paths = jnp.asarray(
+        np.stack([rng.permutation(n) for _ in range(a)], axis=1), jnp.int32)
+    amounts = jnp.asarray(rng.uniform(0.01, 2.0, a), jnp.float32)
+    for cyclic in (True, False):
+        d_p = tour_deposit_pallas(paths, amounts, n, cyclic=cyclic)
+        d_x = tour_deposit_xla(n, paths, amounts, cyclic=cyclic)
+        np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_tour_deposit_repeated_edges_and_vmap():
+    from deepaco_tpu.ops.pallas_kernels import (tour_deposit_pallas,
+                                                tour_deposit_xla)
+    rng = np.random.default_rng(8)
+    b, n, l, a = 3, 20, 45, 4
+    # CVRP-like padded paths: repeated depot self-edges must accumulate
+    paths = jnp.asarray(rng.integers(0, n, (b, l, a)), jnp.int32)
+    paths = paths.at[:, -10:, :].set(0)
+    amounts = jnp.asarray(rng.uniform(0.01, 2.0, (b, a)), jnp.float32)
+    for cyclic in (True, False):
+        d_p = jax.vmap(lambda p, w: tour_deposit_pallas(
+            p, w, n, cyclic=cyclic))(paths, amounts)
+        d_x = jax.vmap(lambda p, w: tour_deposit_xla(
+            n, p, w, cyclic=cyclic))(paths, amounts)
+        np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_fused_tsp_update_matches_cost_and_deposit():
+    from deepaco_tpu.aco.problems.tsp import tour_cost
+    from deepaco_tpu.ops.pallas_kernels import (fused_tsp_update_pallas,
+                                                tour_deposit_xla)
+    rng = np.random.default_rng(9)
+    n, a, q = 33, 5, 0.7
+    paths = jnp.asarray(
+        np.stack([rng.permutation(n) for _ in range(a)], axis=1), jnp.int32)
+    dist = jnp.asarray(rng.uniform(0.1, 2.0, (n, n)), jnp.float32)
+    d, costs = fused_tsp_update_pallas(paths, dist, q=q)
+    costs_ref = tour_cost(dist, paths)
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(costs_ref),
+                               rtol=1e-6)
+    d_ref = tour_deposit_xla(n, paths, q / costs_ref)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref),
+                               rtol=1e-5, atol=1e-6)
