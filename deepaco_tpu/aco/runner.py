@@ -172,10 +172,20 @@ class ACO:
                  min_max: bool = False, pheromone=None, heuristic=None,
                  tau_min: float = 0.1, seed: int = 0,
                  fixed_start: int | None = None,
-                 local_search: str | None = None):
+                 local_search: str | None = None,
+                 coords=None):
         assert local_search in (None, "2opt", "nls")
         self.distances = jnp.asarray(distances, jnp.float32)
         self.n = self.distances.shape[0]
+        # Euclidean coordinates unlock the whole-descent Pallas LS kernel on
+        # TPU (ops/pallas_two_opt.py); without them LS uses the XLA gathers.
+        self.coords = None
+        if coords is not None and local_search is not None:
+            from deepaco_tpu.ops.pallas_two_opt import pallas_ls_supported
+
+            if (jax.default_backend() == "tpu"
+                    and pallas_ls_supported(self.n)):
+                self.coords = jnp.asarray(coords, jnp.float32)
         self.cfg = ACOConfig(n_ants=n_ants, decay=decay, alpha=alpha,
                              beta=beta, elitist=elitist, min_max=min_max,
                              tau_min=tau_min)
@@ -225,8 +235,19 @@ class ACO:
         maxt = max(self.n // 4, 1)
         tours = paths.T
         if self.local_search_type == "nls":
-            tours = batched_nls(self.distances, heuristic_dist(self.heuristic),
-                                tours, maxt)
+            if self.coords is not None:
+                from deepaco_tpu.ops.pallas_two_opt import batched_nls_euclid
+
+                tours = batched_nls_euclid(
+                    self.coords, heuristic_dist(self.heuristic), tours, maxt)
+            else:
+                tours = batched_nls(self.distances,
+                                    heuristic_dist(self.heuristic),
+                                    tours, maxt)
+        elif self.coords is not None:
+            from deepaco_tpu.ops.pallas_two_opt import batched_two_opt_euclid
+
+            tours = batched_two_opt_euclid(self.coords, tours, maxt)
         else:
             tours = batched_two_opt(self.distances, tours, maxt)
         paths = tours.T
@@ -240,7 +261,7 @@ class ACO:
             _jit_run, self.cfg, n_iterations, self.fixed_start,
             self.local_search_type)
         self.state, _ = runner(self.state, self.heuristic, self.distances,
-                               self._next_key())
+                               self.coords, self._next_key())
         return self.state.best_cost
 
     @property
@@ -254,7 +275,7 @@ class ACO:
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _jit_run(cfg: ACOConfig, n_iterations: int, fixed_start, ls_type,
-             state: SearchState, heuristic, distances, rng):
+             state: SearchState, heuristic, distances, coords, rng):
     from deepaco_tpu.aco.problems.tsp import tour_cost, tsp_spec
 
     spec_factory = lambda tau: tsp_spec(tau, heuristic, cfg.n_ants,
@@ -266,11 +287,24 @@ def _jit_run(cfg: ACOConfig, n_iterations: int, fixed_start, ls_type,
         from deepaco_tpu.ops.two_opt import batched_nls, batched_two_opt, heuristic_dist
 
         # inference LS budget: run to the fixed point (tsp_nls/aco.py:227 uses
-        # 10000; the while_loop exits at convergence anyway)
-        n = distances.shape[0]
+        # 10000; the while_loop exits at convergence anyway). ``coords`` is
+        # non-None only when the facade validated the Pallas whole-descent
+        # kernel applies (TPU backend + VMEM-supported size).
         if ls_type == "nls":
             hd = heuristic_dist(heuristic)
-            ls_fn = lambda paths: batched_nls(distances, hd, paths.T, 1000).T
+            if coords is not None:
+                from deepaco_tpu.ops.pallas_two_opt import batched_nls_euclid
+
+                ls_fn = lambda paths: batched_nls_euclid(
+                    coords, hd, paths.T, 1000).T
+            else:
+                ls_fn = lambda paths: batched_nls(distances, hd, paths.T,
+                                                  1000).T
+        elif coords is not None:
+            from deepaco_tpu.ops.pallas_two_opt import batched_two_opt_euclid
+
+            ls_fn = lambda paths: batched_two_opt_euclid(coords, paths.T,
+                                                         1000).T
         else:
             ls_fn = lambda paths: batched_two_opt(distances, paths.T, 1000).T
     return run_anytime(spec_factory, cost_fn, cfg, state, rng, n_iterations,

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -168,6 +169,15 @@ def _cmd_test_tsp_ls(args, ds) -> None:
     from deepaco_tpu.models.gnn import Net
     from deepaco_tpu.train.drivers import family_model  # noqa: F401
 
+    if args.ckpt is None and not args.classic:
+        # the LS protocol uses the start-node-feature net — default to the
+        # tsp_nls pretrained weights, not tsp's 2-feat ones (the reference
+        # stores them as pretrained/tsp_nls/tsp<n>.pt, tsp_nls/test.py:75)
+        cand = f"/root/reference/pretrained/tsp_nls/tsp{args.nodes}.pt"
+        if os.path.exists(cand):
+            args.ckpt = cand
+        else:
+            args.ckpt = _default_ckpt("tsp_nls", args.nodes)
     variables = None if args.classic else _load_variables(args)
     model = Net() if variables is not None else None
     k = args.k_sparse or max(args.nodes // 10, 3)
@@ -186,10 +196,12 @@ def _cmd_test_tsp_ls(args, ds) -> None:
             heu_vec = out[1] if isinstance(out, tuple) else out
             heu = scatter_to_dense(g, heu_vec) + 1e-10
             aco = ACO(dist, n_ants=args.ants, heuristic=heu,
-                      local_search=args.local_search, seed=args.seed + i)
+                      local_search=args.local_search, seed=args.seed + i,
+                      coords=coords)
         else:
             aco = ACO(dist, n_ants=args.ants,
-                      local_search=args.local_search, seed=args.seed + i)
+                      local_search=args.local_search, seed=args.seed + i,
+                      coords=coords)
             aco.sparsify(k)
         curve, done = [], 0
         for t in t_values:
