@@ -86,11 +86,21 @@ def reinforce_loss(costs, log_probs, n_ants, *, ls_costs=None, w: float = 0.95):
 
 def nls_local_search(t_nls: int = 10, t_p: int = 20):
     """Training-time NLS hook: 2-opt budget n//4 (tsp_nls/aco.py:227),
-    perturbing on the learned-heuristic metric."""
+    perturbing on the learned-heuristic metric. When coordinates are
+    available on a TPU backend the whole-descent Pallas kernel
+    (ops/pallas_two_opt.py) runs the search in VMEM."""
     from deepaco_tpu.ops.two_opt import batched_nls, heuristic_dist
 
-    def fn(dist, heu, paths):
+    def fn(dist, heu, paths, coords=None):
         maxt = max(dist.shape[0] // 4, 1)
+        if coords is not None and jax.default_backend() == "tpu":
+            from deepaco_tpu.ops.pallas_two_opt import (
+                batched_nls_euclid, pallas_ls_supported)
+
+            if pallas_ls_supported(dist.shape[0]):
+                tours = batched_nls_euclid(coords, heuristic_dist(heu),
+                                           paths.T, maxt, t_nls, t_p)
+                return tour_cost(dist, tours.T)
         tours = batched_nls(dist, heuristic_dist(heu), paths.T, maxt,
                             t_nls, t_p)
         return tour_cost(dist, tours.T)
@@ -103,8 +113,8 @@ def make_tsp_train_step(model, cfg: ProblemConfig,
                         nls_w: float = 0.95):
     """Build the jitted TSP train step: (state, rng) -> (state, mean_cost).
 
-    ``local_search(dist, heu, paths) -> improved_costs`` enables the
-    NLS-shaped advantage (tsp_nls/train.py:33-35).
+    ``local_search(dist, heu, paths, coords=...) -> improved_costs`` enables
+    the NLS-shaped advantage (tsp_nls/train.py:33-35).
     """
     tx = make_optimizer(cfg, cfg.train.epochs * cfg.train.steps_per_epoch)
     a = cfg.aco
@@ -122,7 +132,11 @@ def make_tsp_train_step(model, cfg: ProblemConfig,
         costs = tour_cost(dist, ro.paths)
         ls_costs = None
         if local_search is not None:
-            ls_costs = jax.lax.stop_gradient(local_search(dist, heu, ro.paths))
+            # stop_gradient on the INPUTS: LS is reward shaping only
+            # (tsp_nls/train.py:33-35), and the Pallas descent kernel has no
+            # autodiff rule — keep it entirely off the linearization path.
+            ls_costs = local_search(dist, jax.lax.stop_gradient(heu),
+                                    ro.paths, coords=coords)
         loss = reinforce_loss(costs, ro.log_probs, a.n_ants,
                               ls_costs=ls_costs, w=nls_w)
         mon = jnp.mean(costs if ls_costs is None else ls_costs)
