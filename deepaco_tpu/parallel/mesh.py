@@ -107,3 +107,70 @@ def shard_colony_search(mesh: Mesh):
         "instances": NamedSharding(mesh, P("instance")),
         "replicated": NamedSharding(mesh, P()),
     }
+
+
+def multi_colony_tsp_search(mesh: Mesh, heuristic, distances,
+                            cfg, rng, *, n_rounds: int, sync_every: int,
+                            axis: str = "instance",
+                            migrate_weight: float = 1.0,
+                            blend: float = 0.0):
+    """Island-model ACO over the device mesh (SURVEY §5's colony sharding).
+
+    One colony per device along ``axis``: each runs ``sync_every`` independent
+    ACO iterations on its own pheromone (device-local RNG stream), then the
+    colonies synchronize over ICI —
+
+    * **best-tour migration**: ``all_gather`` of per-colony bests, global
+      argmin, and an elitist deposit of the global best tour into every
+      colony's pheromone (weight ``migrate_weight / cost``);
+    * optional **pheromone blending**: ``tau <- (1-blend)*tau +
+      blend*pmean(tau)`` mixes the colony matrices (an allreduce over ICI).
+
+    ``migrate_weight=0, blend=0`` degrades to fully independent colonies
+    (global best is still tracked — pure parallel restarts). Returns the
+    globally-best cost after each round, ``[n_rounds]`` (replicated).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from deepaco_tpu.aco import pheromone as ph
+    from deepaco_tpu.aco.runner import init_search, run_anytime
+
+    n = distances.shape[0]
+    repl = P()
+
+    def colony_fn(heu, dist, key):
+        from deepaco_tpu.aco.problems.tsp import tour_cost, tsp_spec
+
+        spec_factory = lambda tau: tsp_spec(tau, heu, cfg.n_ants, None,
+                                            alpha=cfg.alpha, beta=cfg.beta)
+        cost_fn = functools.partial(tour_cost, dist)
+        # device-local RNG stream: fold in the colony index
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        state = init_search(n, n - 1, cfg)
+
+        def round_body(state, k):
+            state, _ = run_anytime(spec_factory, cost_fn, cfg, state, k,
+                                   sync_every)
+            costs = jax.lax.all_gather(state.best_cost, axis)
+            paths = jax.lax.all_gather(state.best_path, axis)
+            gi = jnp.argmin(costs)
+            gcost, gpath = costs[gi], paths[gi]
+            tau = state.phe.tau
+            if migrate_weight > 0.0:
+                tau = ph.deposit(tau, gpath[:, None],
+                                 jnp.atleast_1d(migrate_weight / gcost))
+            if blend > 0.0:
+                tau = (1.0 - blend) * tau + blend * jax.lax.pmean(tau, axis)
+            state = state._replace(phe=state.phe._replace(tau=tau),
+                                   best_cost=gcost, best_path=gpath)
+            return state, gcost
+
+        keys = jax.random.split(key, n_rounds)
+        _, curve = jax.lax.scan(round_body, state, keys)
+        return curve
+
+    fn = shard_map(colony_fn, mesh=mesh,
+                   in_specs=(repl, repl, repl), out_specs=repl,
+                   check_rep=False)
+    return jax.jit(fn)(jnp.asarray(heuristic, jnp.float32),
+                       jnp.asarray(distances, jnp.float32), rng)

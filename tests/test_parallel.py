@@ -94,3 +94,47 @@ def test_colony_sharded_evaluation_matches_single_device():
     m2, c2 = evaluate_family("tsp", batch, n_nodes=16, k_sparse=6, n_ants=6,
                              t_values=(1, 4), seed=3, mesh=mesh)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-5)
+
+
+def test_multi_colony_island_search():
+    """Island-model colony sharding: 8 colonies, periodic best-tour migration
+    + pheromone blending. With migration off, the search degrades to parallel
+    restarts whose global best must equal the min over 8 independent
+    single-colony runs with the same folded keys."""
+    from deepaco_tpu.aco import pheromone as ph
+    from deepaco_tpu.aco.problems.tsp import tour_cost, tsp_spec
+    from deepaco_tpu.aco.runner import ACOConfig, init_search, run_anytime
+    from deepaco_tpu.parallel.mesh import make_mesh, multi_colony_tsp_search
+    from deepaco_tpu.utils.datasets import distance_matrix
+
+    rng = np.random.default_rng(5)
+    coords = jnp.asarray(rng.random((14, 2)), jnp.float32)
+    dist = distance_matrix(coords)
+    heu = 1.0 / dist
+    cfg = ACOConfig(n_ants=6)
+    mesh = make_mesh(n_instance=8, n_ant=1)
+    key = jax.random.PRNGKey(9)
+
+    curve = np.asarray(multi_colony_tsp_search(
+        mesh, heu, dist, cfg, key, n_rounds=3, sync_every=2,
+        migrate_weight=1.0, blend=0.25))
+    assert curve.shape == (3,)
+    assert np.all(np.isfinite(curve))
+    assert np.all(np.diff(curve) <= 1e-6)  # global best is monotone
+
+    # migration/blending off == parallel restarts: reproduce serially
+    curve0 = np.asarray(multi_colony_tsp_search(
+        mesh, heu, dist, cfg, key, n_rounds=2, sync_every=2,
+        migrate_weight=0.0, blend=0.0))
+    best = np.inf
+    for colony in range(8):
+        ck = jax.random.fold_in(key, colony)
+        ks = jax.random.split(ck, 2)
+        state = init_search(14, 13, cfg)
+        spec_factory = lambda tau: tsp_spec(tau, heu, cfg.n_ants, None)
+        cost_fn = lambda paths: tour_cost(dist, paths)
+        for r in range(2):
+            state, _ = jax.jit(run_anytime, static_argnums=(0, 1, 2, 5))(
+                spec_factory, cost_fn, cfg, state, ks[r], 2)
+        best = min(best, float(state.best_cost))
+    np.testing.assert_allclose(curve0[-1], best, rtol=1e-6)
