@@ -183,18 +183,29 @@ def _cmd_test_tsp_ls(args, ds) -> None:
     k = args.k_sparse or max(args.nodes // 10, 3)
     t_values = args.t_aco
     t_max = max(t_values)
+
+    if model is not None:
+        import jax
+
+        from deepaco_tpu.core.builders import tsp_nls_graph
+
+        # one jitted graph-build + GNN forward reused across instances:
+        # unjitted module application dispatches hundreds of ops through the
+        # device relay (~50 ms each) and dominates the whole sweep
+        @jax.jit
+        def _heu_fn(coords, dist):
+            g = tsp_nls_graph(coords, dist, k, start_node=0)
+            out = model.apply(variables, g, train=False)
+            heu_vec = out[1] if isinstance(out, tuple) else out
+            return scatter_to_dense(g, heu_vec) + 1e-10
+
     curves = []
     t0 = time.time()
     for i in range(ds["coords"].shape[0]):
         coords = jnp.asarray(ds["coords"][i])
         dist = jnp.asarray(ds["dist"][i])
         if model is not None:
-            from deepaco_tpu.core.builders import tsp_nls_graph
-
-            g = tsp_nls_graph(coords, dist, k, start_node=0)
-            out = model.apply(variables, g, train=False)
-            heu_vec = out[1] if isinstance(out, tuple) else out
-            heu = scatter_to_dense(g, heu_vec) + 1e-10
+            heu = _heu_fn(coords, dist)
             aco = ACO(dist, n_ants=args.ants, heuristic=heu,
                       local_search=args.local_search, seed=args.seed + i,
                       coords=coords)

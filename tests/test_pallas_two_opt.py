@@ -64,7 +64,7 @@ def test_nls_parity_with_bf16_metric():
 
 
 def test_large_instance_falls_back_to_xla():
-    n = 600  # > MAX_NPAD -> must route to the XLA implementation
+    n = 1100  # > MAX_NPAD -> must route to the XLA implementation
     assert not pallas_ls_supported(n)
     rng = np.random.default_rng(7)
     coords = jnp.asarray(rng.random((n, 2)), jnp.float32)
