@@ -162,25 +162,81 @@ def dense_sweep(score: jax.Array, start: jax.Array, rng: jax.Array,
                          (1, 0, 2))
 
 
+def _batched_ls_fn(ls: str | None, coords, dist, heu, ls_budget: int):
+    """Whole-batch local-search hook: ``paths [B, N, A] -> improved paths``.
+
+    Routes to the whole-descent Pallas kernel (grid ``(B, A)`` via its vmap
+    rule) when coordinates are available on TPU; otherwise vmaps the XLA
+    descent per instance (reference semantics either way,
+    tsp_nls/aco.py:226-258)."""
+    if ls is None:
+        return None
+    from deepaco_tpu.ops.two_opt import batched_nls, batched_two_opt, heuristic_dist
+
+    use_pallas = coords is not None and jax.default_backend() == "tpu"
+    if use_pallas:
+        from deepaco_tpu.ops.pallas_two_opt import (
+            batched_nls_euclid, batched_two_opt_euclid, pallas_ls_supported)
+
+        use_pallas = pallas_ls_supported(dist.shape[-1])
+
+    if ls == "nls":
+        hd = heuristic_dist(heu)
+        if use_pallas:
+            per_inst = lambda c, h, t: batched_nls_euclid(c, h, t, ls_budget)
+            args = (coords, hd)
+        else:
+            per_inst = lambda d, h, t: batched_nls(d, h, t, ls_budget)
+            args = (dist, hd)
+    else:
+        if use_pallas:
+            per_inst = lambda c, t: batched_two_opt_euclid(c, t, ls_budget)
+            args = (coords,)
+        else:
+            per_inst = lambda d, t: batched_two_opt(d, t, ls_budget)
+            args = (dist,)
+
+    def fn(paths):
+        tours = jnp.swapaxes(paths, 1, 2)                      # [B, A, N]
+        tours = jax.vmap(per_inst)(*args, tours)
+        return jnp.swapaxes(tours, 1, 2)
+
+    return fn
+
+
 def run_anytime_batched(heu: jax.Array, dist: jax.Array, cfg: ACOConfig,
                         rng: jax.Array, n_iterations: int,
                         fixed_start: int | None = None,
-                        sample_dtype=jnp.bfloat16) -> jax.Array:
+                        sample_dtype=jnp.bfloat16,
+                        coords: jax.Array | None = None,
+                        ls: str | None = None,
+                        ls_budget: int = 1000,
+                        state=None, return_state: bool = False):
     """Batched dense anytime TSP sweep (the production bench path).
 
     Args:
       heu:  ``[B, N, N]`` dense heuristic (off-support floored).
       dist: ``[B, N, N]`` distances.
+      coords: optional ``[B, N, 2]`` — unlocks the Pallas LS kernel on TPU.
+      ls:   None | "2opt" | "nls" — local search applied to every ant's tour
+            before scoring/deposit (the tsp_nls run loop, tsp_nls/aco.py:103-130),
+            batched over the whole instance set.
 
     Returns the anytime curve ``[B, n_iterations]`` of best-so-far costs —
     the protocol of ``runner.run_anytime`` vmapped per instance, minus the
     redundant per-iteration ``log(heu)`` and with reduced-precision sampling.
+    ``state``/``return_state`` let a host driver carry the search state across
+    several short device programs (chunked anytime sweeps: one multi-minute
+    program can trip the TPU worker's watchdog when LS runs per iteration).
     """
     b, n, _ = heu.shape
     a = cfg.n_ants
     log_heu = (cfg.beta * jnp.log(jnp.maximum(heu, 1e-30)))  # hoisted, fp32
+    if ls is not None and fixed_start is None:
+        fixed_start = 0     # NLS protocol constructs from node 0
+    ls_fn = _batched_ls_fn(ls, coords, dist, heu, ls_budget)
 
-    state0 = _batched_init(b, n, cfg)
+    state0 = _batched_init(b, n, cfg) if state is None else state
     keys = jax.random.split(rng, n_iterations)
 
     def body(state, key):
@@ -189,10 +245,14 @@ def run_anytime_batched(heu: jax.Array, dist: jax.Array, cfg: ACOConfig,
         k_start, k_sweep = jax.random.split(key)
         start = _start_cities(k_start, b, a, n, fixed_start)
         paths = dense_sweep(score, start, k_sweep)
+        if ls_fn is not None:
+            paths = ls_fn(paths)
         state = _batched_update(cfg, state, paths, dist)
         return state, state.best_cost
 
-    _, curve = jax.lax.scan(body, state0, keys)                 # [T, B]
+    final, curve = jax.lax.scan(body, state0, keys)             # [T, B]
+    if return_state:
+        return final, curve.T
     return curve.T
 
 

@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     te.add_argument("--local-search", choices=["2opt", "nls"], default=None,
                     help="TSP only: apply on-device local search in the run "
                          "loop (the tsp_nls protocol, tsp_nls/test.py:49-56)")
+    te.add_argument("--per-instance", action="store_true",
+                    help="with --local-search: drive the reference-style "
+                         "per-instance ACO facade instead of the whole-batch "
+                         "device program")
 
     sv = sub.add_parser(
         "solve-cvrp",
@@ -160,8 +164,11 @@ def cmd_test(args) -> None:
 
 
 def _cmd_test_tsp_ls(args, ds) -> None:
-    """TSP-NLS protocol: per-instance ACO facade with on-device 2-opt/NLS
-    in the run loop (reference tsp_nls/test.py:17-56)."""
+    """TSP-NLS protocol (reference tsp_nls/test.py:17-56).
+
+    Default: the whole-batch device program (one jitted scan over the full
+    instance set with the Pallas whole-descent LS on every ant).
+    ``--per-instance``: the reference-style ACO facade loop."""
     import jax.numpy as jnp
 
     from deepaco_tpu.aco import ACO
@@ -183,6 +190,27 @@ def _cmd_test_tsp_ls(args, ds) -> None:
     k = args.k_sparse or max(args.nodes // 10, 3)
     t_values = args.t_aco
     t_max = max(t_values)
+
+    if not args.per_instance:
+        from deepaco_tpu.aco.runner import ACOConfig
+        from deepaco_tpu.eval.anytime import evaluate_tsp
+
+        t0 = time.time()
+        means, _ = evaluate_tsp(
+            jnp.asarray(ds["coords"], jnp.float32), model=model,
+            variables=variables, k_sparse=k,
+            cfg=ACOConfig(n_ants=args.ants), t_values=tuple(t_values),
+            seed=args.seed, ls=args.local_search)
+        means = np.asarray(means)
+        duration = time.time() - t0
+        print(f"total duration: {duration:.2f}s")
+        for t, v in zip(t_values, means):
+            print(f"T={t}, average cost is {v:.6f}.")
+        print(json.dumps({"problem": "tsp_" + args.local_search,
+                          "n": args.nodes, "t_aco": t_values,
+                          "means": means.tolist(),
+                          "duration_s": duration}))
+        return
 
     if model is not None:
         import jax

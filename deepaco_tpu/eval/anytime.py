@@ -49,6 +49,60 @@ def _eval_neural(model, cfg: ACOConfig, k_sparse: int, t_max: int,
     return run_anytime_batched(heu, dist, cfg, rng, t_max)
 
 
+def _eval_ls(model, cfg: ACOConfig, k_sparse: int, t_max: int,
+             ls: str, variables, coords_batch, rng):
+    """The tsp_nls anytime protocol (tsp_nls/test.py:17-56), batched.
+
+    The sweep is CHUNKED over instances and iterations — each device program
+    is one ACO iteration for a block of instances, with the search state
+    carried on the host side. One monolithic program (whole set × T with the
+    Pallas descent per iteration) runs for minutes and trips the TPU worker's
+    watchdog.
+    """
+    import numpy as np
+
+    from deepaco_tpu.aco.batched_tsp import _batched_init
+    from deepaco_tpu.core.builders import tsp_nls_graph
+
+    b, n, _ = coords_batch.shape
+    # ~512 LS descents per dispatch: a few seconds of device time at any n
+    # (the grid serializes descents on the core), far below the watchdog
+    b_chunk = int(max(1, min(b, 512 // max(cfg.n_ants, 1))))
+
+    @jax.jit
+    def heu_fn(coords):
+        def per_instance(c):
+            dist = distance_matrix(c)
+            if model is None:
+                return 1.0 / sparse_distance_matrix(dist, k_sparse), dist
+            g = tsp_nls_graph(c, dist, k_sparse, start_node=0)
+            out = model.apply(variables, g, train=False)
+            heu_vec = out[1] if isinstance(out, tuple) else out
+            return scatter_to_dense(g, heu_vec) + 1e-10, dist
+
+        return jax.vmap(per_instance)(coords)
+
+    @jax.jit
+    def step_fn(state, heu, dist, coords, key):
+        return run_anytime_batched(heu, dist, cfg, key, 1, coords=coords,
+                                   ls=ls, state=state, return_state=True)
+
+    curves = np.zeros((b, t_max), np.float32)
+    for s in range(0, b, b_chunk):
+        chunk = coords_batch[s:s + b_chunk]
+        real = chunk.shape[0]
+        if real < b_chunk:     # pad to the jitted shape; sliced off below
+            chunk = jnp.concatenate(
+                [chunk, jnp.repeat(chunk[:1], b_chunk - real, axis=0)])
+        heu, dist = heu_fn(chunk)
+        state = _batched_init(b_chunk, n, cfg)
+        for t in range(t_max):
+            key = jax.random.fold_in(rng, s * t_max + t)
+            state, cur = step_fn(state, heu, dist, chunk, key)
+            curves[s:s + real, t] = np.asarray(cur)[:real, 0]
+    return jnp.asarray(curves)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _eval_classic(cfg: ACOConfig, k_sparse: int, t_max: int,
                   coords_batch, rng):
@@ -62,19 +116,25 @@ def _eval_classic(cfg: ACOConfig, k_sparse: int, t_max: int,
 
 def evaluate_tsp(coords_batch, *, model=None, variables=None,
                  k_sparse: int, cfg: ACOConfig | None = None,
-                 t_values=(1, 10, 20, 30, 40, 50, 100), seed: int = 0):
+                 t_values=(1, 10, 20, 30, 40, 50, 100), seed: int = 0,
+                 ls: str | None = None):
     """Anytime sweep over a dataset.
 
     Returns ``[len(t_values)]`` mean best-so-far costs (the reference's
     reported table) plus the full ``[B, t_max]`` curves.
     ``model=None`` runs the classic-ACO A/B baseline (sparsified 1/d
-    heuristic, reference tsp/test.ipynb cells 5-6).
+    heuristic, reference tsp/test.ipynb cells 5-6). ``ls`` in
+    {"2opt", "nls"} runs the tsp_nls protocol (local search on every ant,
+    start-node-feature graph when neural).
     """
     cfg = cfg or ACOConfig()
     coords_batch = jnp.asarray(coords_batch, jnp.float32)
     t_max = int(max(t_values))
     rng = jax.random.PRNGKey(seed)
-    if model is None:
+    if ls is not None:
+        curves = _eval_ls(model, cfg, k_sparse, t_max, ls, variables,
+                          coords_batch, rng)
+    elif model is None:
         curves = _eval_classic(cfg, k_sparse, t_max, coords_batch, rng)
     else:
         curves = _eval_neural(model, cfg, k_sparse, t_max, variables,

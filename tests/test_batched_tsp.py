@@ -205,3 +205,36 @@ def test_fixed_start_and_minmax_strategies_run():
                                t, fixed_start=0)
     assert curve.shape == (b, t)
     assert np.all(np.isfinite(np.asarray(curve)))
+
+
+def test_batched_ls_runner_improves_and_matches_protocol():
+    """LS-in-the-loop batched runner: with the same keys, the T=1 best cost
+    must be <= the plain runner's (every ant's tour only improves before
+    scoring); curves stay monotone; classic evaluate_tsp(ls=...) runs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepaco_tpu.aco.batched_tsp import run_anytime_batched
+    from deepaco_tpu.aco.runner import ACOConfig
+    from deepaco_tpu.eval.anytime import evaluate_tsp
+    from deepaco_tpu.utils.datasets import distance_matrix
+
+    rng = np.random.default_rng(0)
+    b, n = 2, 16
+    coords = jnp.asarray(rng.random((b, n, 2)), jnp.float32)
+    dist = jax.vmap(distance_matrix)(coords)
+    heu = 1.0 / dist
+    cfg = ACOConfig(n_ants=4)
+    key = jax.random.PRNGKey(1)
+
+    plain = np.asarray(run_anytime_batched(
+        heu, dist, cfg, key, 2, fixed_start=0, sample_dtype=jnp.float32))
+    ls = np.asarray(run_anytime_batched(
+        heu, dist, cfg, key, 2, sample_dtype=jnp.float32, ls="2opt"))
+    assert np.all(ls[:, 0] <= plain[:, 0] + 1e-5)
+    assert np.all(np.diff(ls, axis=1) <= 1e-6)
+
+    means, curves = evaluate_tsp(coords, k_sparse=6, cfg=cfg,
+                                 t_values=(1, 2), seed=0, ls="nls")
+    assert means.shape == (2,) and np.all(np.isfinite(np.asarray(means)))
