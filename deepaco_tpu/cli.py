@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("-o", "--output", default=None,
                     help="checkpoint path (.msgpack)")
+    tr.add_argument("--local-search", choices=["2opt", "nls", "swapstar"],
+                    default=None,
+                    help="tsp: NLS-shaped advantage with on-device 2-opt/NLS "
+                         "(tsp_nls/train.py); cvrp: LS-only advantage with "
+                         "the native SWAP* engine (cvrp_nls/train.py)")
 
     te = sub.add_parser("test", help="anytime evaluation on golden datasets")
     te.add_argument("problem", choices=["tsp", "cvrp", "op", "pctsp",
@@ -76,6 +81,8 @@ def cmd_train(args) -> None:
     from deepaco_tpu.train.drivers import train_family
     from deepaco_tpu.utils.checkpoint import save_checkpoint
 
+    if getattr(args, "local_search", None):
+        return _cmd_train_ls(args)
     k = args.k_sparse or max(args.nodes // 10, 3)
     cfg = ProblemConfig(
         name=args.problem, n_nodes=args.nodes, k_sparse=k,
@@ -89,6 +96,48 @@ def cmd_train(args) -> None:
         progress=lambda ep, c: print(f"epoch {ep}: mean cost {c:.4f} "
                                      f"({time.time() - t0:.1f}s)"))
     out = args.output or f"checkpoints/{args.problem}{args.nodes}.msgpack"
+    save_checkpoint(out, state)
+    print(f"saved {out}")
+
+
+def _cmd_train_ls(args) -> None:
+    """NLS training CLIs (reference tsp_nls/train.py and cvrp_nls/train.py)."""
+    from deepaco_tpu.train.config import (ACOSettings, ProblemConfig,
+                                          TrainConfig)
+    from deepaco_tpu.utils.checkpoint import save_checkpoint
+
+    t0 = time.time()
+    prog = lambda ep, c: print(f"epoch {ep}: mean cost {c:.4f} "
+                               f"({time.time() - t0:.1f}s)", flush=True)
+    if args.problem == "tsp":
+        assert args.local_search in ("2opt", "nls")
+        from deepaco_tpu.models.gnn import Net
+        from deepaco_tpu.train.reinforce import nls_local_search, train_tsp
+
+        cfg = ProblemConfig(
+            name="tsp_nls", n_nodes=args.nodes,
+            k_sparse=args.k_sparse or max(args.nodes // 10, 3),
+            aco=ACOSettings(n_ants=args.ants),
+            train=TrainConfig(lr=args.lr, epochs=args.epochs,
+                              steps_per_epoch=args.steps,
+                              batch_size=args.batch_size, seed=args.seed))
+        # --local-search 2opt == NLS with zero perturbation rounds
+        ls = nls_local_search() if args.local_search == "nls" \
+            else nls_local_search(t_nls=0)
+        state = train_tsp(Net(), cfg, local_search=ls, progress=prog)
+        out = args.output or f"checkpoints/tsp_nls{args.nodes}.msgpack"
+    elif args.problem == "cvrp":
+        assert args.local_search == "swapstar", \
+            "cvrp training uses --local-search swapstar"
+        from deepaco_tpu.train.special import train_cvrp_nls
+
+        _, state = train_cvrp_nls(
+            args.nodes, epochs=args.epochs, steps_per_epoch=args.steps,
+            lr=args.lr, n_ants=args.ants,
+            k_sparse=args.k_sparse or 5, seed=args.seed, progress=prog)
+        out = args.output or f"checkpoints/cvrp_nls{args.nodes}.msgpack"
+    else:
+        raise SystemExit("--local-search training applies to tsp/cvrp")
     save_checkpoint(out, state)
     print(f"saved {out}")
 

@@ -185,7 +185,7 @@ def _fused_layer_kernel(k_const, x24_ref, x3_ref, nbr_ref, w_ref, ew_ref,
     agg_ref[:] = acc * (1.0 / k_const)
 
 
-def fused_gnn_layer_pallas(x2, x3, x4, nbr, w, ew, eb, tile: int = 128):
+def fused_gnn_layer_pallas(x2, x3, x4, nbr, w, ew, eb, tile: int | None = None):
     """Gather phase of one EmbNet layer, fused over row tiles.
 
     Returns ``(agg [R, U], pre [R, K, U])`` — see `_fused_layer_kernel`.
@@ -194,6 +194,14 @@ def fused_gnn_layer_pallas(x2, x3, x4, nbr, w, ew, eb, tile: int = 128):
     """
     n, u = x2.shape
     rows, k = nbr.shape
+    if tile is None:
+        # scoped-VMEM gate: the dominant stack terms scale with tile*(k*u)
+        # (w + pre blocks, double-buffered) and tile*n (the one-hot); halve
+        # the row tile until the estimate fits the ~16 MB/core budget
+        # (measured: n=1000, k=100, u=32 at tile=128 -> 17.04 MB, OOM).
+        tile = 128
+        while tile > 8 and 4 * tile * (4 * k * u + n + 8 * u) > 5_000_000:
+            tile //= 2
     x24 = jnp.concatenate([x2, x4], axis=1)                      # [N, 2U]
     pad = (-rows) % tile
     if pad:

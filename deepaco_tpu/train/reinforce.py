@@ -45,10 +45,16 @@ def make_optimizer(cfg: ProblemConfig, total_steps: int) -> optax.GradientTransf
     )
 
 
-def init_train_state(model, cfg: ProblemConfig, rng: jax.Array) -> TrainState:
+def init_train_state(model, cfg: ProblemConfig, rng: jax.Array,
+                     nls_graph: bool = False) -> TrainState:
     coords = uniform_coords(rng, cfg.n_nodes)
     dist = distance_matrix(coords)
-    g = knn_graph(coords, dist, cfg.k_sparse)
+    if nls_graph:
+        from deepaco_tpu.core.builders import tsp_nls_graph
+
+        g = tsp_nls_graph(coords, dist, cfg.k_sparse, start_node=0)
+    else:
+        g = knn_graph(coords, dist, cfg.k_sparse)
     variables = model.init(rng, g, train=False)
     tx = make_optimizer(cfg, cfg.train.epochs * cfg.train.steps_per_epoch)
     return TrainState(
@@ -59,10 +65,18 @@ def init_train_state(model, cfg: ProblemConfig, rng: jax.Array) -> TrainState:
 
 
 def tsp_heuristic(model, params, batch_stats, coords, *, k_sparse, eps,
-                  train: bool):
-    """GNN forward → dense heuristic matrix + (dist, updated stats)."""
+                  train: bool, nls_graph: bool = False):
+    """GNN forward → dense heuristic matrix + (dist, updated stats).
+
+    ``nls_graph`` uses the start-node one-hot feature graph of the NLS
+    pipelines (tsp_nls/utils.py:37-44) instead of coordinate features."""
     dist = distance_matrix(coords)
-    g = knn_graph(coords, dist, k_sparse)
+    if nls_graph:
+        from deepaco_tpu.core.builders import tsp_nls_graph
+
+        g = tsp_nls_graph(coords, dist, k_sparse, start_node=0)
+    else:
+        g = knn_graph(coords, dist, k_sparse)
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
         out, upd = model.apply(variables, g, train=True,
@@ -125,7 +139,8 @@ def make_tsp_train_step(model, cfg: ProblemConfig,
         coords = uniform_coords(k_inst, cfg.n_nodes)
         heu, dist, new_stats = tsp_heuristic(
             model, params, batch_stats, coords,
-            k_sparse=cfg.k_sparse, eps=cfg.train.eps, train=True)
+            k_sparse=cfg.k_sparse, eps=cfg.train.eps, train=True,
+            nls_graph=local_search is not None)
         spec = tsp_spec(jnp.ones_like(heu), heu, a.n_ants, fixed_start)
         ro = rollout(spec, k_roll, alpha=a.alpha, beta=a.beta,
                      require_prob=True)
@@ -166,7 +181,8 @@ def train_tsp(model, cfg: ProblemConfig, *, local_search=None,
               progress: Callable | None = None) -> TrainState:
     """Full training driver (reference tsp/train.ipynb cell 3 envelope)."""
     rng = jax.random.PRNGKey(cfg.train.seed)
-    state = init_train_state(model, cfg, rng)
+    state = init_train_state(model, cfg, rng,
+                             nls_graph=local_search is not None)
     step_fn = make_tsp_train_step(model, cfg, local_search=local_search)
     for epoch in range(cfg.train.epochs):
         for s in range(cfg.train.steps_per_epoch):

@@ -214,3 +214,54 @@ def cvrp_nls_train_step(state: TrainState, sample_fn, grad_fn, demand, dist,
     adv = jnp.asarray(ls_costs - ls_costs.mean(), jnp.float32)
     state = grad_fn(state, demand_j, dist_j, jnp.asarray(paths), adv)
     return state, float(ls_costs.mean()), float(np.asarray(raw_costs).mean())
+
+
+CVRP_NLS_CAPACITY = {1: 10, 20: 30, 50: 40, 100: 50, 400: 150,
+                     1000: 200, 2000: 300}   # cvrp_nls/utils.py:5-10
+
+
+def train_cvrp_nls(n_nodes: int, *, epochs: int = 5, steps_per_epoch: int = 20,
+                   lr: float = 1e-4, n_ants: int = 20, k_sparse: int = 5,
+                   seed: int = 0, ls_count: int | None = None,
+                   progress: Callable | None = None):
+    """Full CVRP-NLS training driver (reference cvrp_nls/train.py:67-151
+    envelope): per step, generate one instance, sample on device, refine all
+    ants with the native SWAP* engine, REINFORCE on the LS costs only.
+    Returns (model, TrainState)."""
+    from deepaco_tpu.models.gnn import Net
+
+    cap = [v for k, v in sorted(CVRP_NLS_CAPACITY.items()) if k <= n_nodes][-1]
+    rng_np = np.random.default_rng(seed)
+
+    def gen_instance():
+        coords = rng_np.random((n_nodes + 1, 2)).astype(np.float32)
+        dist = np.linalg.norm(coords[:, None] - coords[None], axis=-1)
+        np.fill_diagonal(dist, 1e-10)
+        demand = np.concatenate(
+            [[0.0], rng_np.integers(1, 10, n_nodes)]).astype(np.float32) / cap
+        return demand, dist.astype(np.float32)
+
+    model = Net()
+    demand0, dist0 = gen_instance()
+    g = builders.cvrp_nls_graph(jnp.asarray(demand0), jnp.asarray(dist0),
+                                k=k_sparse)
+    variables = model.init(jax.random.PRNGKey(seed), g, train=False)
+    tx = optax.chain(optax.clip_by_global_norm(3.0), optax.adamw(lr))
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=tx.init(variables["params"]),
+                       step=jnp.zeros((), jnp.int32))
+    sample_fn, grad_fn = make_cvrp_nls_train_fns(
+        model, tx, k_sparse=k_sparse, n_ants=n_ants)
+    key = jax.random.PRNGKey(seed)
+    ls_cost = float("nan")
+    for ep in range(epochs):
+        for _ in range(steps_per_epoch):
+            demand, dist = gen_instance()
+            key, k2 = jax.random.split(key)
+            state, ls_cost, _ = cvrp_nls_train_step(
+                state, sample_fn, grad_fn, demand, dist, k2,
+                ls_count=ls_count)
+        if progress is not None:
+            progress(ep, ls_cost)
+    return model, state

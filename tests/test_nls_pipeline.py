@@ -54,7 +54,9 @@ def test_nls_train_step_runs():
         aco=ACOSettings(n_ants=6),
         train=TrainConfig(epochs=1, steps_per_epoch=1, batch_size=2))
     model = Net()
-    state = init_train_state(model, cfg, jax.random.PRNGKey(0))
+    # NLS training uses the start-node one-hot graph (tsp_nls/utils.py:37-44)
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0),
+                             nls_graph=True)
     step = make_tsp_train_step(model, cfg,
                                local_search=nls_local_search(t_nls=2, t_p=5))
     state2, cost = step(state, jax.random.PRNGKey(1))
