@@ -169,6 +169,21 @@ def _load_variables(args):
         from deepaco_tpu.models.torch_compat import load_reference_checkpoint
 
         return load_reference_checkpoint(args.ckpt)
+    if getattr(args, "local_search", None) and args.problem == "tsp":
+        # NLS checkpoints are trained on the start-node one-hot graph
+        # (1 node feature) — the tsp family template has 2
+        import jax
+
+        from deepaco_tpu.models.gnn import Net
+        from deepaco_tpu.train.reinforce import init_train_state
+
+        cfg = ProblemConfig(n_nodes=args.nodes,
+                            k_sparse=args.k_sparse or max(args.nodes // 10, 3),
+                            aco=ACOSettings(), train=TrainConfig())
+        template = init_train_state(Net(), cfg, jax.random.PRNGKey(0),
+                                    nls_graph=True)
+        state = load_checkpoint(args.ckpt, template)
+        return {"params": state.params, "batch_stats": state.batch_stats}
     family = get_family(args.problem)
     cfg = ProblemConfig(n_nodes=args.nodes,
                         k_sparse=args.k_sparse or max(args.nodes // 10, 3),
