@@ -50,7 +50,8 @@ def _eval_neural(model, cfg: ACOConfig, k_sparse: int, t_max: int,
 
 
 def _eval_ls(model, cfg: ACOConfig, k_sparse: int, t_max: int,
-             ls: str, variables, coords_batch, rng):
+             ls: str, variables, coords_batch, rng,
+             b_chunk: int | None = None):
     """The tsp_nls anytime protocol (tsp_nls/test.py:17-56), batched.
 
     The sweep is CHUNKED over instances and iterations — each device program
@@ -65,9 +66,10 @@ def _eval_ls(model, cfg: ACOConfig, k_sparse: int, t_max: int,
     from deepaco_tpu.core.builders import tsp_nls_graph
 
     b, n, _ = coords_batch.shape
-    # ~512 LS descents per dispatch: a few seconds of device time at any n
-    # (the grid serializes descents on the core), far below the watchdog
-    b_chunk = int(max(1, min(b, 512 // max(cfg.n_ants, 1))))
+    if b_chunk is None:
+        # ~512 LS descents per dispatch: a few seconds of device time at any
+        # n (the grid serializes descents on the core), below the watchdog
+        b_chunk = int(max(1, min(b, 512 // max(cfg.n_ants, 1))))
 
     @jax.jit
     def heu_fn(coords):

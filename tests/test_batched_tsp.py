@@ -238,3 +238,24 @@ def test_batched_ls_runner_improves_and_matches_protocol():
     means, curves = evaluate_tsp(coords, k_sparse=6, cfg=cfg,
                                  t_values=(1, 2), seed=0, ls="nls")
     assert means.shape == (2,) and np.all(np.isfinite(np.asarray(means)))
+
+
+def test_eval_ls_chunk_padding():
+    """The chunked LS evaluator must handle a final partial chunk (padded to
+    the jitted shape, padding sliced off) — shapes, finiteness, monotone."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepaco_tpu.aco.runner import ACOConfig
+    from deepaco_tpu.eval.anytime import _eval_ls
+
+    rng = np.random.default_rng(3)
+    coords = jnp.asarray(rng.random((3, 14, 2)), jnp.float32)
+    cfg = ACOConfig(n_ants=4)
+    import jax
+
+    curves = np.asarray(_eval_ls(None, cfg, 6, 2, "2opt", None, coords,
+                                 jax.random.PRNGKey(0), b_chunk=2))
+    assert curves.shape == (3, 2)
+    assert np.all(np.isfinite(curves))
+    assert np.all(np.diff(curves, axis=1) <= 1e-6)
