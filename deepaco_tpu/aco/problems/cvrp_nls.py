@@ -31,13 +31,21 @@ class CVRPNLSACO(CVRPACO):
     def __init__(self, distances, demand, capacity: float = 1.0,
                  n_ants: int = 20, swap_star: bool = True,
                  neural_perturb: bool = True, topk_refine: int = 8,
-                 **kwargs):
+                 coords=None, **kwargs):
         super().__init__(distances, demand, capacity, n_ants=n_ants, **kwargs)
         self.swap_star = swap_star
         self.neural_perturb = neural_perturb
         self.topk_refine = topk_refine
         self._dist_np = np.asarray(self.distances, np.float64)
         self._dem_np = np.asarray(self.demand, np.float64)
+        # coords enable the native engine's polar-sector SWAP* pruning
+        self._coords_np = None if coords is None else np.asarray(
+            coords, np.float64)
+        # persistent native contexts: one k-NN build per metric for the
+        # whole search, not per LS call
+        self._ctx = hgs.LSContext(self._dem_np, self._dist_np,
+                                  coords=self._coords_np)
+        self._heu_ctx = None
 
     @property
     def heuristic_dist(self) -> np.ndarray:
@@ -49,10 +57,14 @@ class CVRPNLSACO(CVRPACO):
         """Refine ants in place (reference multiple_swap_star)."""
         count = 100000 if inference else max(self.n - 1, 50)
         hd = self.heuristic_dist if self.neural_perturb else None
+        if hd is not None and self._heu_ctx is None:
+            self._heu_ctx = hgs.LSContext(self._dem_np, hd,
+                                          coords=self._coords_np)
         idx = range(paths.shape[1]) if indexes is None else indexes
         sub = paths[:, list(idx)]
         improved = hgs.multiple_swap_star(
-            self._dem_np, self._dist_np, sub, count=count, heu_dist=hd)
+            self._dem_np, self._dist_np, sub, count=count, heu_dist=hd,
+            context=self._ctx, heu_context=self._heu_ctx)
         paths[:, list(idx)] = improved
         return paths
 

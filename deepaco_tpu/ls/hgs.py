@@ -10,6 +10,16 @@ API mirrors the reference wrapper:
   ``swapstar(demands, dist, routes, count)``   (cvrp_nls/swapstar.py:324-346)
   ``neural_swapstar(...)``                     (cvrp_nls/aco.py:443-448)
   ``multiple_swap_star(...)``                  (cvrp_nls/aco.py:113-126)
+
+Plus a reusable :class:`LSContext` that keeps the instance data + granular
+neighbor lists alive across many calls (one ACO search makes hundreds of LS
+calls on the same matrices; the reference rebuilds its Params each call).
+
+Hardening (SURVEY §5 failure handling): every native round-trip re-validates
+the returned routes (coverage + capacity) on the Python side; an invalid
+result raises ``NativeLSError`` instead of silently poisoning the caller,
+and ``swapstar`` falls back to the unmodified input routes only for *call*
+failures (reference behavior, swapstar.py:341-346), never for corrupt output.
 """
 from __future__ import annotations
 
@@ -26,6 +36,15 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libcvrpls.so")
 _lock = threading.Lock()
 _lib = None
 
+_PD = ctypes.POINTER(ctypes.c_double)
+_PI = ctypes.POINTER(ctypes.c_int)
+
+
+class NativeLSError(RuntimeError):
+    """The native engine returned an invalid solution (lost/duplicated
+    customers or a capacity violation) — a loud failure instead of silent
+    training poison (VERDICT round-1 weak #8)."""
+
 
 def _build_library():
     subprocess.run(["make", "-s"], cwd=_NATIVE_DIR, check=True)
@@ -41,40 +60,49 @@ def get_library():
                     or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)):
                 _build_library()
             lib = ctypes.CDLL(_LIB_PATH)
+            lib.cvrp_ls_context_new.restype = ctypes.c_void_p
+            lib.cvrp_ls_context_new.argtypes = [
+                ctypes.c_int, _PD, _PD, ctypes.c_double, _PD, ctypes.c_int]
+            lib.cvrp_ls_context_free.restype = None
+            lib.cvrp_ls_context_free.argtypes = [ctypes.c_void_p]
+            lib.cvrp_ls_improve.restype = ctypes.c_int
+            lib.cvrp_ls_improve.argtypes = [
+                ctypes.c_void_p, _PI, _PI, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_double]
             lib.cvrp_local_search.restype = ctypes.c_int
             lib.cvrp_local_search.argtypes = [
-                ctypes.c_int,                       # n
-                ctypes.POINTER(ctypes.c_double),    # dist
-                ctypes.POINTER(ctypes.c_double),    # demands
-                ctypes.c_double,                    # capacity
-                ctypes.POINTER(ctypes.c_int),       # routes_flat
-                ctypes.POINTER(ctypes.c_int),       # route_lens
-                ctypes.c_int,                       # n_routes
-                ctypes.c_int,                       # count_limit
-                ctypes.c_int,                       # k_granular
-                ctypes.c_int,                       # use_swap_star
+                ctypes.c_int,       # n
+                _PD,                # dist
+                _PD,                # demands
+                ctypes.c_double,    # capacity
+                _PD,                # coords (nullable)
+                _PI,                # routes_flat
+                _PI,                # route_lens
+                ctypes.c_int,       # n_routes
+                ctypes.c_int,       # count_limit
+                ctypes.c_int,       # k_granular
+                ctypes.c_int,       # use_swap_star
+                ctypes.c_double,    # time_limit_s
             ]
             lib.cvrp_solve.restype = ctypes.c_double
             lib.cvrp_solve.argtypes = [
-                ctypes.c_int,                       # n
-                ctypes.POINTER(ctypes.c_double),    # dist
-                ctypes.POINTER(ctypes.c_double),    # demands
-                ctypes.c_double,                    # capacity
-                ctypes.c_int,                       # max_iters
-                ctypes.c_int,                       # no_improve_limit
-                ctypes.c_double,                    # time_limit_s
-                ctypes.c_uint,                      # seed
-                ctypes.c_int,                       # ls_count
-                ctypes.c_int,                       # k_granular
-                ctypes.POINTER(ctypes.c_int),       # routes_flat out
-                ctypes.POINTER(ctypes.c_int),       # route_lens out
-                ctypes.POINTER(ctypes.c_int),       # n_routes out
+                ctypes.c_int,       # n
+                _PD,                # dist
+                _PD,                # demands
+                ctypes.c_double,    # capacity
+                ctypes.c_int,       # max_iters
+                ctypes.c_int,       # no_improve_limit
+                ctypes.c_double,    # time_limit_s
+                ctypes.c_uint,      # seed
+                ctypes.c_int,       # ls_count
+                ctypes.c_int,       # k_granular
+                _PI,                # routes_flat out
+                _PI,                # route_lens out
+                _PI,                # n_routes out
             ]
             lib.cvrp_solution_cost.restype = ctypes.c_double
             lib.cvrp_solution_cost.argtypes = [
-                ctypes.c_int, ctypes.POINTER(ctypes.c_double),
-                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-                ctypes.c_int]
+                ctypes.c_int, _PD, _PI, _PI, ctypes.c_int]
             _lib = lib
     return _lib
 
@@ -109,46 +137,138 @@ def routes_to_path(routes, length: int | None = None) -> np.ndarray:
     return path
 
 
-def swapstar(demands, dist, routes, count: int = 1000, k_granular: int = 20,
-             use_swap_star: bool = True) -> list[np.ndarray]:
-    """Improve ``routes`` (list of customer arrays) under ``dist``.
+def _validate_output(demands, capacity, routes_in, routes_out):
+    """Raise NativeLSError unless routes_out covers exactly the customers of
+    routes_in and every route respects the capacity."""
+    want = np.sort(np.concatenate([np.asarray(r) for r in routes_in]))
+    have = (np.sort(np.concatenate([np.asarray(r) for r in routes_out]))
+            if routes_out else np.empty(0, np.int64))
+    if want.shape != have.shape or not np.array_equal(want, have):
+        raise NativeLSError("native LS lost or duplicated customers")
+    dem = np.asarray(demands, np.float64)
+    for r in routes_out:
+        if dem[np.asarray(r)].sum() > capacity + 1e-6:
+            raise NativeLSError("native LS violated capacity")
 
-    Mirrors the reference ``swapstar`` entry (cvrp_nls/swapstar.py:324-346):
-    demands/dist are instance data; ``count`` caps applied moves. Returns the
-    improved routes; on any native error the input routes are returned
-    unchanged (reference behavior, swapstar.py:341-346).
-    """
-    lib = get_library()
-    dist = np.ascontiguousarray(dist, np.float64)
-    demands = np.ascontiguousarray(demands, np.float64)
-    n = dist.shape[0]
+
+def _encode(routes):
     routes = [np.asarray(r, np.int32) for r in routes if len(r)]
-    if not routes:
-        return routes
     total = sum(len(r) for r in routes)
-    # capacity head-room for write-back (#routes can only shrink)
-    flat = np.zeros(total, np.int32)
-    lens = np.zeros(len(routes), np.int32)
+    flat = np.zeros(max(total, 1), np.int32)
+    lens = np.zeros(max(len(routes), 1), np.int32)
     off = 0
     for i, r in enumerate(routes):
         flat[off:off + len(r)] = r
         lens[i] = len(r)
         off += len(r)
-    try:
-        out_r = lib.cvrp_local_search(
-            n,
-            dist.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            demands.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            ctypes.c_double(1.0 + 1e-9),  # demands normalized to capacity 1
-            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            len(routes), count, k_granular, int(use_swap_star))
-    except Exception:
-        return routes
+    return routes, flat, lens
+
+
+def _decode(flat, lens, out_r):
     out, off = [], 0
     for i in range(out_r):
         out.append(flat[off:off + lens[i]].copy())
         off += lens[i]
+    return out
+
+
+class LSContext:
+    """Reusable native local-search context for one (dist, demands) pair.
+
+    Holds references to the instance arrays (the native side keeps raw
+    pointers into them) and the prebuilt k-nearest-neighbor lists. Safe for
+    concurrent :meth:`improve` calls from multiple threads.
+    """
+
+    def __init__(self, demands, dist, capacity: float = 1.0 + 1e-9,
+                 coords=None, k_granular: int = 20):
+        self._lib = get_library()
+        self.dist = np.ascontiguousarray(dist, np.float64)
+        self.demands = np.ascontiguousarray(demands, np.float64)
+        self.coords = (None if coords is None
+                       else np.ascontiguousarray(coords, np.float64))
+        self.capacity = float(capacity)
+        self.n = self.dist.shape[0]
+        self._handle = self._lib.cvrp_ls_context_new(
+            self.n, self.dist.ctypes.data_as(_PD),
+            self.demands.ctypes.data_as(_PD),
+            ctypes.c_double(self.capacity),
+            None if self.coords is None else self.coords.ctypes.data_as(_PD),
+            k_granular)
+
+    def improve(self, routes, count: int = 1000, use_swap_star: bool = True,
+                time_limit_s: float = 0.0, validate: bool = True):
+        """Polish ``routes`` (list of customer arrays); returns new routes."""
+        routes, flat, lens = _encode(routes)
+        if not routes:
+            return routes
+        out_r = self._lib.cvrp_ls_improve(
+            self._handle, flat.ctypes.data_as(_PI), lens.ctypes.data_as(_PI),
+            len(routes), count, int(use_swap_star),
+            ctypes.c_double(time_limit_s))
+        out = _decode(flat, lens, out_r)
+        if validate:
+            _validate_output(self.demands, self.capacity, routes, out)
+        return out
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            self._lib.cvrp_ls_context_free(self._handle)
+            self._handle = None
+
+    def __del__(self):  # noqa: D105
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+# Default wall-clock cap per native call: generous for any real instance but
+# bounds a pathological one (the reference's only bound is the move count).
+DEFAULT_TIME_LIMIT_S = 30.0
+
+
+def swapstar(demands, dist, routes, count: int = 1000, k_granular: int = 20,
+             use_swap_star: bool = True, coords=None,
+             time_limit_s: float = DEFAULT_TIME_LIMIT_S,
+             context: LSContext | None = None) -> list[np.ndarray]:
+    """Improve ``routes`` (list of customer arrays) under ``dist``.
+
+    Mirrors the reference ``swapstar`` entry (cvrp_nls/swapstar.py:324-346):
+    demands/dist are instance data; ``count`` caps applied moves. ``coords``
+    (optional [n,2]) enables polar-sector SWAP* route-pair pruning. Returns
+    the improved routes; if the native call itself fails the input routes are
+    returned unchanged (reference behavior, swapstar.py:341-346) — but a
+    *corrupt* native result raises :class:`NativeLSError`.
+    """
+    routes = [np.asarray(r, np.int32) for r in routes if len(r)]
+    if not routes:
+        return routes
+    if context is not None:
+        return context.improve(routes, count=count,
+                               use_swap_star=use_swap_star,
+                               time_limit_s=time_limit_s)
+    lib = get_library()
+    dist = np.ascontiguousarray(dist, np.float64)
+    demands = np.ascontiguousarray(demands, np.float64)
+    coords_arr = (None if coords is None
+                  else np.ascontiguousarray(coords, np.float64))
+    n = dist.shape[0]
+    routes, flat, lens = _encode(routes)
+    try:
+        out_r = lib.cvrp_local_search(
+            n, dist.ctypes.data_as(_PD), demands.ctypes.data_as(_PD),
+            ctypes.c_double(1.0 + 1e-9),  # demands normalized to capacity 1
+            None if coords_arr is None else coords_arr.ctypes.data_as(_PD),
+            flat.ctypes.data_as(_PI), lens.ctypes.data_as(_PI),
+            len(routes), count, k_granular, int(use_swap_star),
+            ctypes.c_double(time_limit_s))
+    except NativeLSError:
+        raise
+    except Exception:
+        return routes
+    out = _decode(flat, lens, out_r)
+    _validate_output(demands, 1.0 + 1e-9, routes, out)
     return out
 
 
@@ -171,14 +291,11 @@ def solve_cvrp(demands, dist, capacity: float = 1.0, max_iters: int = 2000,
     lens = np.zeros(max(n, 1), np.int32)
     n_routes = ctypes.c_int(0)
     cost = lib.cvrp_solve(
-        n,
-        dist.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        demands.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n, dist.ctypes.data_as(_PD), demands.ctypes.data_as(_PD),
         ctypes.c_double(capacity), max_iters, no_improve_limit,
         ctypes.c_double(time_limit_s), ctypes.c_uint(seed), ls_count,
         k_granular,
-        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        flat.ctypes.data_as(_PI), lens.ctypes.data_as(_PI),
         ctypes.byref(n_routes))
     routes, off = [], 0
     for i in range(n_routes.value):
@@ -188,30 +305,54 @@ def solve_cvrp(demands, dist, capacity: float = 1.0, max_iters: int = 2000,
 
 
 def neural_swapstar(demands, dist, heu_dist, routes, count: int = 1000,
-                    perturb_moves: int = 10):
+                    perturb_moves: int = 10, coords=None,
+                    context: LSContext | None = None,
+                    heu_context: LSContext | None = None):
     """LS(dist) → perturb on the learned metric → LS(dist)
     (reference neural_swapstar, cvrp_nls/aco.py:443-448)."""
-    routes = swapstar(demands, dist, routes, count)
-    routes = swapstar(demands, heu_dist, routes, perturb_moves)
-    return swapstar(demands, dist, routes, count)
+    routes = swapstar(demands, dist, routes, count, coords=coords,
+                      context=context)
+    routes = swapstar(demands, heu_dist, routes, perturb_moves, coords=coords,
+                      context=heu_context)
+    return swapstar(demands, dist, routes, count, coords=coords,
+                    context=context)
 
 
 def multiple_swap_star(demands, dist, paths, count: int = 1000,
-                       heu_dist=None, max_workers: int | None = None):
+                       heu_dist=None, coords=None,
+                       max_workers: int | None = None,
+                       context: LSContext | None = None,
+                       heu_context: LSContext | None = None):
     """Thread fan-out over ants (reference cvrp_nls/aco.py:113-126).
 
-    ``paths`` is ``[L, A]`` depot-delimited; returns improved ``[L, A]``."""
+    ``paths`` is ``[L, A]`` depot-delimited; returns improved ``[L, A]``.
+    One shared native context per metric amortizes the k-NN build across
+    the whole ant batch; pass ``context``/``heu_context`` to reuse them
+    across iterations (e.g. the ACO run loop)."""
     paths = np.asarray(paths)
     L, A = paths.shape
+    own_ctx = context is None
+    ctx = context or LSContext(demands, dist, coords=coords)
+    own_heu = heu_context is None and heu_dist is not None
+    heu_ctx = heu_context if heu_context is not None else (
+        None if heu_dist is None else LSContext(demands, heu_dist,
+                                                coords=coords))
 
     def one(a):
         routes = path_to_routes(paths[:, a])
-        if heu_dist is None:
-            routes = swapstar(demands, dist, routes, count)
+        if heu_ctx is None:
+            routes = swapstar(demands, dist, routes, count, context=ctx)
         else:
-            routes = neural_swapstar(demands, dist, heu_dist, routes, count)
+            routes = neural_swapstar(demands, dist, heu_dist, routes, count,
+                                     context=ctx, heu_context=heu_ctx)
         return routes_to_path(routes, L)
 
-    with ThreadPoolExecutor(max_workers=max_workers) as ex:
-        out = list(ex.map(one, range(A)))
+    try:
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            out = list(ex.map(one, range(A)))
+    finally:
+        if own_ctx:
+            ctx.close()
+        if own_heu:
+            heu_ctx.close()
     return np.stack(out, axis=1)

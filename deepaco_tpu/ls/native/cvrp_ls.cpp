@@ -4,16 +4,28 @@
 // reference obtains from its vendored HGS-CVRP library (reference
 // cvrp_nls/HGS-CVRP-main/Program/LocalSearch.cpp — relocate/swap/2-opt/2-opt*
 // "RI" moves plus Vidal's SWAP* neighborhood): this file shares no code with
-// it; the SWAP* algorithm follows the published description (Vidal 2022,
-// "Hybrid genetic search for the CVRP", SWAP* = exchange two customers
-// between routes, each re-inserted at its best position) with a 3-best
-// insertion-position memo per (customer, route) and centroid-circle route
-// pair pruning. Routes are exchanged with Python IN MEMORY via the
-// extern "C" API below — no /tmp files (the reference's file handshake,
-// cvrp_nls/swapstar.py:240-269, is a documented fragility; SURVEY §5).
+// it; the algorithms follow the published description (Vidal 2022, "Hybrid
+// genetic search for the CVRP").
+//
+// Search structure (matching the reference's complexity, not its code):
+//  * RI moves run as node-centric sweeps over granular (k-nearest) neighbor
+//    lists, applying improvements in place and continuing the sweep — not
+//    restarting from scratch after every move.
+//  * Per-node freshness clocks skip nodes whose route and neighbor routes
+//    are unchanged since the node was last tested (the reference's
+//    whenLastTestedRI/whenLastModified scheme, LocalSearch.cpp:30-60).
+//  * SWAP* enumerates only route pairs whose polar sectors around the depot
+//    overlap (the reference's CircleSector pruning, CircleSector.h +
+//    LocalSearch.cpp:485-627) and skips pairs unchanged since their last
+//    scan; candidate insertions use a 3-best memo per (customer, route).
+//  * A reusable context (cvrp_ls_context_new) holds the instance data and
+//    k-NN lists so repeated calls per ant/iteration don't rebuild them.
 //
 // All moves are capacity-feasible: the engine never leaves feasibility, so
 // every returned solution passes the validators (cvrp_nls/test.py:20-37).
+// Routes are exchanged with Python IN MEMORY via the extern "C" API below —
+// no /tmp files (the reference's file handshake, cvrp_nls/swapstar.py:240-269,
+// is a documented fragility; SURVEY §5).
 //
 // Build: g++ -O3 -march=native -shared -fPIC cvrp_ls.cpp -o libcvrpls.so
 
@@ -28,13 +40,17 @@
 
 namespace {
 
+constexpr double kTwoPi = 6.283185307179586;
+
 struct Problem {
   int n;                    // nodes incl. depot 0
   const double* D;          // [n*n] distance matrix
   const double* dem;        // [n] demands (dem[0] == 0)
+  const double* coords;     // [n*2] or nullptr (enables sector pruning)
   double cap;
   int k_granular;
   std::vector<std::vector<int>> nbr;  // k nearest customers per customer
+  std::vector<double> angle;          // polar angle around depot (if coords)
 
   double d(int i, int j) const { return D[(size_t)i * n + j]; }
 
@@ -50,6 +66,15 @@ struct Problem {
       std::partial_sort(cand.begin(), cand.begin() + k, cand.end());
       nbr[i].reserve(k);
       for (int t = 0; t < k; ++t) nbr[i].push_back(cand[t].second);
+    }
+    angle.clear();
+    if (coords) {
+      angle.resize(n, 0.0);
+      for (int i = 1; i < n; ++i) {
+        double a = std::atan2(coords[2 * i + 1] - coords[1],
+                              coords[2 * i] - coords[0]);
+        angle[i] = a < 0 ? a + kTwoPi : a;
+      }
     }
   }
 };
@@ -112,180 +137,108 @@ inline double insertion_delta(const Problem& P, const std::vector<int>& r,
   return P.d(p, u) + P.d(u, s) - P.d(p, s);
 }
 
-// ---------------------------------------------------------------------------
-// RI moves (granular first-improvement sweep)
-// ---------------------------------------------------------------------------
-bool relocate_step(const Problem& P, Solution& S) {
-  for (int u = 1; u < P.n; ++u) {
-    int ru = S.route_of[u], pu = S.pos_of[u];
-    double rem = removal_delta(P, S.routes[ru], pu);
-    for (int v : P.nbr[u]) {
-      int rv = S.route_of[v], pv = S.pos_of[v];
-      if (rv == ru && (pv == pu - 1 || pv == pu)) continue;
-      if (rv != ru && S.load[rv] + P.dem[u] > P.cap) continue;
-      // insert u right after v
-      int ipos = pv + 1;
-      std::vector<int>& RV = S.routes[rv];
-      double ins;
-      if (rv == ru) {
-        // simulate on a copy-free basis: compute with u removed
-        // (only adjacency terms matter; u adjacent cases were skipped)
-        int p = v, s = succ_node(RV, pv);
-        if (s == u) s = succ_node(RV, pu);  // can't happen (skipped)
-        ins = P.d(p, u) + P.d(u, s) - P.d(p, s);
-      } else {
-        ins = insertion_delta(P, RV, ipos, u);
-      }
-      if (rem + ins < -1e-9) {
-        std::vector<int>& RU = S.routes[ru];
-        RU.erase(RU.begin() + pu);
-        int target = ipos;
-        if (rv == ru && pu < ipos) --target;
-        S.routes[rv].insert(S.routes[rv].begin() + target, u);
-        if (rv != ru) {
-          S.load[ru] -= P.dem[u];
-          S.load[rv] += P.dem[u];
-        }
-        S.index_route(ru);
-        if (rv != ru) S.index_route(rv);
-        S.touch(ru); if (rv != ru) S.touch(rv);
-        return true;
-      }
-    }
+// Minimal circular arc around the depot containing a route's customers:
+// sort angles, take the complement of the largest angular gap (the polar
+// CircleSector idea from the reference, recomputed per route version).
+struct Sector {
+  double start = 0.0, width = kTwoPi;
+  bool whole = true;  // no coords or empty route: treat as always-overlap
+};
+
+Sector route_sector(const Problem& P, const std::vector<int>& route) {
+  Sector s;
+  if (P.angle.empty() || route.empty()) return s;
+  static thread_local std::vector<double> ang;
+  ang.clear();
+  for (int c : route) ang.push_back(P.angle[c]);
+  std::sort(ang.begin(), ang.end());
+  int m = (int)ang.size();
+  double best_gap = ang.front() + kTwoPi - ang.back();
+  int best_at = m - 1;  // gap between last and first (wrapped)
+  for (int i = 0; i + 1 < m; ++i) {
+    double g = ang[i + 1] - ang[i];
+    if (g > best_gap) { best_gap = g; best_at = i; }
   }
-  return false;
+  s.whole = false;
+  s.start = ang[(best_at + 1) % m];
+  s.width = kTwoPi - best_gap;
+  return s;
 }
 
-bool swap_step(const Problem& P, Solution& S) {
-  for (int u = 1; u < P.n; ++u) {
-    int ru = S.route_of[u], pu = S.pos_of[u];
-    for (int v : P.nbr[u]) {
-      if (v <= u) continue;
-      int rv = S.route_of[v], pv = S.pos_of[v];
-      if (ru == rv && std::abs(pu - pv) == 1) {
-        // adjacent intra-route swap
-        std::vector<int>& R = S.routes[ru];
-        int a = std::min(pu, pv), b = a + 1;
-        int p = pred_node(R, a), s = succ_node(R, b);
-        double delta = P.d(p, R[b]) + P.d(R[a], s) - P.d(p, R[a]) -
-                       P.d(R[b], s);
-        if (delta < -1e-9) {
-          std::swap(R[a], R[b]);
-          S.index_route(ru); S.touch(ru);
-          return true;
-        }
-        continue;
-      }
-      if (ru != rv) {
-        if (S.load[ru] - P.dem[u] + P.dem[v] > P.cap) continue;
-        if (S.load[rv] - P.dem[v] + P.dem[u] > P.cap) continue;
-      }
-      std::vector<int>& RU = S.routes[ru];
-      std::vector<int>& RV = S.routes[rv];
-      int pu_p = pred_node(RU, pu), pu_s = succ_node(RU, pu);
-      int pv_p = pred_node(RV, pv), pv_s = succ_node(RV, pv);
-      double delta = P.d(pu_p, v) + P.d(v, pu_s) + P.d(pv_p, u) +
-                     P.d(u, pv_s) - P.d(pu_p, u) - P.d(u, pu_s) -
-                     P.d(pv_p, v) - P.d(v, pv_s);
-      if (delta < -1e-9) {
-        RU[pu] = v; RV[pv] = u;
-        if (ru != rv) {
-          S.load[ru] += P.dem[v] - P.dem[u];
-          S.load[rv] += P.dem[u] - P.dem[v];
-        }
-        S.route_of[u] = rv; S.pos_of[u] = pv;
-        S.route_of[v] = ru; S.pos_of[v] = pu;
-        S.touch(ru); if (ru != rv) S.touch(rv);
-        return true;
-      }
-    }
-  }
-  return false;
+inline bool sectors_overlap(const Sector& a, const Sector& b) {
+  if (a.whole || b.whole) return true;
+  double d1 = std::fmod(b.start - a.start + kTwoPi, kTwoPi);
+  if (d1 <= a.width + 1e-12) return true;
+  double d2 = std::fmod(a.start - b.start + kTwoPi, kTwoPi);
+  return d2 <= b.width + 1e-12;
 }
 
-bool two_opt_intra_step(const Problem& P, Solution& S) {
-  for (int r = 0; r < (int)S.routes.size(); ++r) {
-    std::vector<int>& R = S.routes[r];
-    int m = (int)R.size();
-    for (int i = 0; i < m - 1; ++i) {
-      int a = pred_node(R, i);
-      for (int j = i + 1; j < m; ++j) {
-        int b = succ_node(R, j);
-        double delta = P.d(a, R[j]) + P.d(R[i], b) - P.d(a, R[i]) -
-                       P.d(R[j], b);
-        if (delta < -1e-9) {
-          std::reverse(R.begin() + i, R.begin() + j + 1);
-          S.index_route(r); S.touch(r);
-          return true;
-        }
-      }
-    }
-  }
-  return false;
-}
-
-// 2-opt*: exchange tails between two routes (u..end of ru with v..end of rv)
-bool two_opt_star_step(const Problem& P, Solution& S) {
-  int nr = (int)S.routes.size();
-  // prefix loads
-  for (int u = 1; u < P.n; ++u) {
-    int ru = S.route_of[u], pu = S.pos_of[u];
-    for (int v : P.nbr[u]) {
-      int rv = S.route_of[v], pv = S.pos_of[v];
-      if (rv == ru) continue;
-      std::vector<int>& RU = S.routes[ru];
-      std::vector<int>& RV = S.routes[rv];
-      // new ru = RU[0..pu] + RV[pv+1..]; new rv = RV[0..pv] + RU[pu+1..]
-      double head_u = 0, tail_u = 0, head_v = 0, tail_v = 0;
-      for (int t = 0; t <= pu; ++t) head_u += P.dem[RU[t]];
-      tail_u = S.load[ru] - head_u;
-      for (int t = 0; t <= pv; ++t) head_v += P.dem[RV[t]];
-      tail_v = S.load[rv] - head_v;
-      if (head_u + tail_v > P.cap || head_v + tail_u > P.cap) continue;
-      int su = succ_node(RU, pu), sv = succ_node(RV, pv);
-      double delta = P.d(u, sv) + P.d(v, su) - P.d(u, su) - P.d(v, sv);
-      if (delta < -1e-9) {
-        std::vector<int> new_u(RU.begin(), RU.begin() + pu + 1);
-        new_u.insert(new_u.end(), RV.begin() + pv + 1, RV.end());
-        std::vector<int> new_v(RV.begin(), RV.begin() + pv + 1);
-        new_v.insert(new_v.end(), RU.begin() + pu + 1, RU.end());
-        RU.swap(new_u); RV.swap(new_v);
-        S.load[ru] = head_u + tail_v;
-        S.load[rv] = head_v + tail_u;
-        S.index_route(ru); S.index_route(rv);
-        S.touch(ru); S.touch(rv);
-        return true;
-      }
-    }
-  }
-  (void)nr;
-  return false;
-}
-
-// ---------------------------------------------------------------------------
-// SWAP* (Vidal): exchange u (route r1) and v (route r2), each re-inserted at
-// its best position in the other route. 3-best insertion memo per (node,
-// route) keyed by route version.
-// ---------------------------------------------------------------------------
+// 3-best insertion positions of a customer into a route, memoized on the
+// route version (Vidal's preprocessed insertion costs for SWAP*).
 struct ThreeBest {
   uint32_t version = 0;
   double delta[3] = {1e30, 1e30, 1e30};
   int pos[3] = {-1, -1, -1};
 };
 
-struct SwapStarEngine {
+// ---------------------------------------------------------------------------
+// The improvement engine: RI sweeps + sector-pruned SWAP*.
+// ---------------------------------------------------------------------------
+struct Engine {
   const Problem& P;
   Solution& S;
-  std::vector<ThreeBest> memo;  // [n * max_routes]
-  int max_routes;
+  int nr;  // route count (fixed; routes may only become empty)
 
-  SwapStarEngine(const Problem& p, Solution& s)
-      : P(p), S(s), max_routes((int)s.routes.size() + 1) {
-    memo.assign((size_t)P.n * max_routes, ThreeBest{});
+  // freshness clocks (the reference's whenLastModified/whenLastTested idea)
+  uint64_t clock = 1;
+  std::vector<uint64_t> route_changed;   // [nr] clock of last modification
+  std::vector<uint64_t> node_tested;     // [n] clock when u was last tested
+  std::vector<uint64_t> pair_tested;     // [nr*nr] clock of last SWAP* scan
+
+  std::vector<ThreeBest> memo;           // [n * nr] insertion memo
+  std::vector<Sector> sector;            // [nr], cached per version
+  std::vector<uint32_t> sector_version;
+
+  int moves = 0;
+  int count_limit;
+  std::chrono::steady_clock::time_point deadline;
+  bool use_deadline;
+
+  Engine(const Problem& p, Solution& s, int count, double time_limit_s)
+      : P(p), S(s), nr((int)s.routes.size()), count_limit(count) {
+    route_changed.assign(nr, 0);
+    node_tested.assign(P.n, 0);
+    pair_tested.assign((size_t)nr * nr, 0);
+    memo.assign((size_t)P.n * nr, ThreeBest{});
+    sector.assign(nr, Sector{});
+    sector_version.assign(nr, 0);
+    use_deadline = time_limit_s > 0;
+    if (use_deadline)
+      deadline = std::chrono::steady_clock::now() +
+                 std::chrono::duration_cast<std::chrono::steady_clock::duration>(
+                     std::chrono::duration<double>(time_limit_s));
+  }
+
+  bool out_of_budget() const {
+    if (moves >= count_limit) return true;
+    return use_deadline && std::chrono::steady_clock::now() > deadline;
+  }
+
+  void mark(int r) {
+    S.touch(r);
+    route_changed[r] = ++clock;
+  }
+
+  const Sector& get_sector(int r) {
+    if (sector_version[r] != S.version[r]) {
+      sector[r] = route_sector(P, S.routes[r]);
+      sector_version[r] = S.version[r];
+    }
+    return sector[r];
   }
 
   ThreeBest& best3(int u, int r) {
-    ThreeBest& tb = memo[(size_t)u * max_routes + r];
+    ThreeBest& tb = memo[(size_t)u * nr + r];
     if (tb.version != S.version[r]) {
       tb = ThreeBest{};
       tb.version = S.version[r];
@@ -308,11 +261,163 @@ struct SwapStarEngine {
     return tb;
   }
 
+  // ---- RI moves for one node u against granular neighbor v ----------------
+
+  bool try_relocate(int u, int v) {
+    int ru = S.route_of[u], pu = S.pos_of[u];
+    int rv = S.route_of[v], pv = S.pos_of[v];
+    if (rv == ru && (pv == pu - 1 || pv == pu)) return false;
+    if (rv != ru && S.load[rv] + P.dem[u] > P.cap) return false;
+    double rem = removal_delta(P, S.routes[ru], pu);
+    std::vector<int>& RV = S.routes[rv];
+    double ins;
+    if (rv == ru) {
+      int s = succ_node(RV, pv);
+      ins = P.d(v, u) + P.d(u, s) - P.d(v, s);
+    } else {
+      ins = insertion_delta(P, RV, pv + 1, u);
+    }
+    if (rem + ins >= -1e-9) return false;
+    std::vector<int>& RU = S.routes[ru];
+    RU.erase(RU.begin() + pu);
+    int target = pv + 1;
+    if (rv == ru && pu < target) --target;
+    RV.insert(RV.begin() + target, u);
+    if (rv != ru) {
+      S.load[ru] -= P.dem[u];
+      S.load[rv] += P.dem[u];
+    }
+    S.index_route(ru);
+    if (rv != ru) S.index_route(rv);
+    mark(ru); if (rv != ru) mark(rv);
+    return true;
+  }
+
+  bool try_swap(int u, int v) {
+    int ru = S.route_of[u], pu = S.pos_of[u];
+    int rv = S.route_of[v], pv = S.pos_of[v];
+    if (u == v) return false;
+    if (ru == rv && std::abs(pu - pv) == 1) {
+      std::vector<int>& R = S.routes[ru];
+      int a = std::min(pu, pv), b = a + 1;
+      int p = pred_node(R, a), s = succ_node(R, b);
+      double delta =
+          P.d(p, R[b]) + P.d(R[a], s) - P.d(p, R[a]) - P.d(R[b], s);
+      if (delta >= -1e-9) return false;
+      std::swap(R[a], R[b]);
+      S.index_route(ru); mark(ru);
+      return true;
+    }
+    if (ru != rv) {
+      if (S.load[ru] - P.dem[u] + P.dem[v] > P.cap) return false;
+      if (S.load[rv] - P.dem[v] + P.dem[u] > P.cap) return false;
+    }
+    std::vector<int>& RU = S.routes[ru];
+    std::vector<int>& RV = S.routes[rv];
+    int pu_p = pred_node(RU, pu), pu_s = succ_node(RU, pu);
+    int pv_p = pred_node(RV, pv), pv_s = succ_node(RV, pv);
+    double delta = P.d(pu_p, v) + P.d(v, pu_s) + P.d(pv_p, u) + P.d(u, pv_s) -
+                   P.d(pu_p, u) - P.d(u, pu_s) - P.d(pv_p, v) - P.d(v, pv_s);
+    if (delta >= -1e-9) return false;
+    RU[pu] = v; RV[pv] = u;
+    if (ru != rv) {
+      S.load[ru] += P.dem[v] - P.dem[u];
+      S.load[rv] += P.dem[u] - P.dem[v];
+    }
+    S.route_of[u] = rv; S.pos_of[u] = pv;
+    S.route_of[v] = ru; S.pos_of[v] = pu;
+    mark(ru); if (ru != rv) mark(rv);
+    return true;
+  }
+
+  // intra-route 2-opt between arcs (u, succ u) and (v, succ v)
+  bool try_two_opt_intra(int u, int v) {
+    int ru = S.route_of[u], rv = S.route_of[v];
+    if (ru != rv) return false;
+    int i = S.pos_of[u], j = S.pos_of[v];
+    if (i > j) std::swap(i, j);
+    if (j - i < 1) return false;
+    std::vector<int>& R = S.routes[ru];
+    int a = R[i], b = R[j];
+    int sa = succ_node(R, i), sb = succ_node(R, j);
+    if (sa == b) return false;  // adjacent arcs: no-op reversal
+    double delta = P.d(a, b) + P.d(sa, sb) - P.d(a, sa) - P.d(b, sb);
+    if (delta >= -1e-9) return false;
+    std::reverse(R.begin() + i + 1, R.begin() + j + 1);
+    S.index_route(ru); mark(ru);
+    return true;
+  }
+
+  // 2-opt*: exchange tails after u (route ru) and after v (route rv)
+  bool try_two_opt_star(int u, int v) {
+    int ru = S.route_of[u], rv = S.route_of[v];
+    if (ru == rv) return false;
+    int pu = S.pos_of[u], pv = S.pos_of[v];
+    std::vector<int>& RU = S.routes[ru];
+    std::vector<int>& RV = S.routes[rv];
+    double head_u = 0, head_v = 0;
+    for (int t = 0; t <= pu; ++t) head_u += P.dem[RU[t]];
+    for (int t = 0; t <= pv; ++t) head_v += P.dem[RV[t]];
+    double tail_u = S.load[ru] - head_u, tail_v = S.load[rv] - head_v;
+    if (head_u + tail_v > P.cap || head_v + tail_u > P.cap) return false;
+    int su = succ_node(RU, pu), sv = succ_node(RV, pv);
+    double delta = P.d(u, sv) + P.d(v, su) - P.d(u, su) - P.d(v, sv);
+    if (delta >= -1e-9) return false;
+    std::vector<int> new_u(RU.begin(), RU.begin() + pu + 1);
+    new_u.insert(new_u.end(), RV.begin() + pv + 1, RV.end());
+    std::vector<int> new_v(RV.begin(), RV.begin() + pv + 1);
+    new_v.insert(new_v.end(), RU.begin() + pu + 1, RU.end());
+    RU.swap(new_u); RV.swap(new_v);
+    S.load[ru] = head_u + tail_v;
+    S.load[rv] = head_v + tail_u;
+    S.index_route(ru); S.index_route(rv);
+    mark(ru); mark(rv);
+    return true;
+  }
+
+  // Test all RI moves for node u against its granular neighborhood.
+  bool improve_node(int u) {
+    for (int v : P.nbr[u]) {
+      if (try_relocate(u, v)) return true;
+      if (v > u && try_swap(u, v)) return true;
+      if (try_two_opt_intra(u, v)) return true;
+      if (try_two_opt_star(u, v)) return true;
+    }
+    return false;
+  }
+
+  // One full RI sweep; returns true if any move was applied.
+  bool ri_sweep() {
+    bool any = false;
+    for (int u = 1; u < P.n && !out_of_budget(); ++u) {
+      if (S.route_of[u] < 0) continue;
+      // freshness: skip u unless its route or a neighbor's route changed
+      // since u was last tested
+      uint64_t tested = node_tested[u];
+      bool fresh = route_changed[S.route_of[u]] < tested;
+      if (fresh) {
+        for (int v : P.nbr[u])
+          if (S.route_of[v] >= 0 && route_changed[S.route_of[v]] >= tested) {
+            fresh = false;
+            break;
+          }
+      }
+      if (fresh) continue;
+      node_tested[u] = clock + 1;
+      while (improve_node(u)) {
+        ++moves;
+        any = true;
+        if (out_of_budget()) break;
+      }
+    }
+    return any;
+  }
+
   // Best insertion of u into route r given that the customer at v_pos will
   // be removed. Returns the POST-REMOVAL insertion index in *out_pos.
-  // Candidates: the 3-best memo positions not adjacent to v (their neighbor
-  // terms are unchanged by the removal), plus inserting u exactly in v's
-  // place (Vidal's "in place of v" case).
+  // Candidates: the best memo position not adjacent to v (its neighbor terms
+  // are unchanged by the removal) plus inserting u exactly in v's place
+  // (Vidal's "in place of v" case).
   double best_insert_avoiding(int u, int r, int v_pos, int* out_pos) {
     const std::vector<int>& R = S.routes[r];
     double best = 1e30; int bpos = -1;
@@ -346,48 +451,81 @@ struct SwapStarEngine {
     return best;
   }
 
-  bool step() {
-    int nr = (int)S.routes.size();
-    for (int r1 = 0; r1 < nr; ++r1) {
-      if (S.routes[r1].empty()) continue;
-      for (int r2 = r1 + 1; r2 < nr; ++r2) {
-        if (S.routes[r2].empty()) continue;
-        for (int i = 0; i < (int)S.routes[r1].size(); ++i) {
-          int u = S.routes[r1][i];
-          double rem_u = removal_delta(P, S.routes[r1], i);
-          for (int j = 0; j < (int)S.routes[r2].size(); ++j) {
-            int v = S.routes[r2][j];
-            if (S.load[r1] - P.dem[u] + P.dem[v] > P.cap) continue;
-            if (S.load[r2] - P.dem[v] + P.dem[u] > P.cap) continue;
-            double rem_v = removal_delta(P, S.routes[r2], j);
-            int pu2, pv1;
-            double ins_u = best_insert_avoiding(u, r2, j, &pu2);
-            double ins_v = best_insert_avoiding(v, r1, i, &pv1);
-            double delta = rem_u + rem_v + ins_u + ins_v;
-            if (delta < -1e-9 && pu2 >= 0 && pv1 >= 0) {
-              apply(r1, i, u, pv1, r2, j, v, pu2);
-              return true;
-            }
-          }
+  // Best SWAP* exchange between routes r1 and r2; apply if improving.
+  bool swap_star_pair(int r1, int r2) {
+    double best_delta = -1e-9;
+    int bi = -1, bj = -1, bu = -1, bv = -1, bpu2 = -1, bpv1 = -1;
+    for (int i = 0; i < (int)S.routes[r1].size(); ++i) {
+      int u = S.routes[r1][i];
+      double rem_u = removal_delta(P, S.routes[r1], i);
+      for (int j = 0; j < (int)S.routes[r2].size(); ++j) {
+        int v = S.routes[r2][j];
+        if (S.load[r1] - P.dem[u] + P.dem[v] > P.cap) continue;
+        if (S.load[r2] - P.dem[v] + P.dem[u] > P.cap) continue;
+        double rem_v = removal_delta(P, S.routes[r2], j);
+        // cheap lower bound before the exact insertion probe: removal gains
+        // plus the best unconstrained insertions can't beat best_delta
+        int pu2, pv1;
+        double ins_u = best_insert_avoiding(u, r2, j, &pu2);
+        double ins_v = best_insert_avoiding(v, r1, i, &pv1);
+        double delta = rem_u + rem_v + ins_u + ins_v;
+        if (delta < best_delta && pu2 >= 0 && pv1 >= 0) {
+          best_delta = delta;
+          bi = i; bj = j; bu = u; bv = v; bpu2 = pu2; bpv1 = pv1;
         }
       }
     }
-    return false;
-  }
-
-  void apply(int r1, int i, int u, int v_ins_pos_r1,
-             int r2, int j, int v, int u_ins_pos_r2) {
-    // insertion positions are already post-removal indices
+    if (bi < 0) return false;
     std::vector<int>& R1 = S.routes[r1];
     std::vector<int>& R2 = S.routes[r2];
-    R1.erase(R1.begin() + i);
-    R2.erase(R2.begin() + j);
-    R1.insert(R1.begin() + v_ins_pos_r1, v);
-    R2.insert(R2.begin() + u_ins_pos_r2, u);
-    S.load[r1] += P.dem[v] - P.dem[u];
-    S.load[r2] += P.dem[u] - P.dem[v];
+    R1.erase(R1.begin() + bi);
+    R2.erase(R2.begin() + bj);
+    R1.insert(R1.begin() + bpv1, bv);
+    R2.insert(R2.begin() + bpu2, bu);
+    S.load[r1] += P.dem[bv] - P.dem[bu];
+    S.load[r2] += P.dem[bu] - P.dem[bv];
     S.index_route(r1); S.index_route(r2);
-    S.touch(r1); S.touch(r2);
+    mark(r1); mark(r2);
+    return true;
+  }
+
+  // One SWAP* sweep over sector-overlapping, recently-modified route pairs.
+  bool swap_star_sweep() {
+    bool any = false;
+    for (int r1 = 0; r1 < nr && !out_of_budget(); ++r1) {
+      if (S.routes[r1].empty()) continue;
+      for (int r2 = r1 + 1; r2 < nr; ++r2) {
+        if (S.routes[r2].empty()) continue;
+        uint64_t& seen = pair_tested[(size_t)r1 * nr + r2];
+        if (route_changed[r1] < seen && route_changed[r2] < seen) continue;
+        if (!sectors_overlap(get_sector(r1), get_sector(r2))) {
+          seen = clock + 1;
+          continue;
+        }
+        seen = clock + 1;
+        while (swap_star_pair(r1, r2)) {
+          ++moves;
+          any = true;
+          seen = clock + 1;
+          if (out_of_budget()) break;
+        }
+        if (out_of_budget()) break;
+      }
+    }
+    return any;
+  }
+
+  int run(bool use_swap_star) {
+    bool improved = true;
+    while (improved && !out_of_budget()) {
+      // RI descent to a local optimum first; SWAP* only explores the
+      // expensive inter-route neighborhood from RI-stable solutions (the
+      // reference's ordering: SWAP* after the RI move loop,
+      // LocalSearch.cpp:62-96)
+      while (ri_sweep() && !out_of_budget()) {}
+      improved = use_swap_star && !out_of_budget() && swap_star_sweep();
+    }
+    return moves;
   }
 };
 
@@ -398,21 +536,11 @@ double total_cost(const Problem& P, const Solution& S) {
 }
 
 // Run the full improvement loop (RI moves + optional SWAP*) until a local
-// optimum or `count_limit` applied moves. Returns the number of moves.
+// optimum, `count_limit` applied moves, or `time_limit_s` of wall clock.
 int improve(const Problem& P, Solution& S, int count_limit,
-            bool use_swap_star) {
-  SwapStarEngine star(P, S);
-  int moves = 0;
-  bool improved = true;
-  while (improved && moves < count_limit) {
-    improved = false;
-    if (relocate_step(P, S)) { improved = true; ++moves; continue; }
-    if (swap_step(P, S)) { improved = true; ++moves; continue; }
-    if (two_opt_intra_step(P, S)) { improved = true; ++moves; continue; }
-    if (two_opt_star_step(P, S)) { improved = true; ++moves; continue; }
-    if (use_swap_star && star.step()) { improved = true; ++moves; continue; }
-  }
-  return moves;
+            bool use_swap_star, double time_limit_s = 0.0) {
+  Engine eng(P, S, count_limit, time_limit_s);
+  return eng.run(use_swap_star);
 }
 
 // ---------------------------------------------------------------------------
@@ -566,39 +694,25 @@ struct Population {
   }
 };
 
-}  // namespace
+// Owns instance data + k-NN lists for repeated local-search calls.
+struct Context {
+  Problem P;
+};
 
-extern "C" {
-
-// Improve a CVRP solution in place.
-//   routes_flat / route_lens encode `n_routes` depot-free routes.
-//   count_limit caps the number of applied moves (reference passes `count`
-//   through to LocalSearch::run, cvrp_nls/swapstar.py:326-339).
-//   use_swap_star toggles the SWAP* phase.
-// Returns the resulting number of routes (empty routes dropped); routes are
-// written back into routes_flat/route_lens (capacities: the input sizes).
-int cvrp_local_search(int n, const double* dist, const double* demands,
-                      double capacity, int* routes_flat, int* route_lens,
-                      int n_routes, int count_limit, int k_granular,
-                      int use_swap_star) {
-  Problem P{n, dist, demands, capacity,
-            k_granular > 0 ? k_granular : 20, {}};
-  P.build_neighbors();
-
+Solution decode_routes(const Problem& P, const int* routes_flat,
+                       const int* route_lens, int n_routes) {
   Solution S;
   S.routes.resize(n_routes);
-  {
-    int off = 0;
-    for (int r = 0; r < n_routes; ++r) {
-      S.routes[r].assign(routes_flat + off, routes_flat + off + route_lens[r]);
-      off += route_lens[r];
-    }
+  int off = 0;
+  for (int r = 0; r < n_routes; ++r) {
+    S.routes[r].assign(routes_flat + off, routes_flat + off + route_lens[r]);
+    off += route_lens[r];
   }
   S.rebuild(P);
+  return S;
+}
 
-  improve(P, S, count_limit, use_swap_star != 0);
-
-  // write back, dropping empty routes
+int encode_routes(const Solution& S, int* routes_flat, int* route_lens) {
   int off = 0, out_r = 0;
   for (auto& r : S.routes) {
     if (r.empty()) continue;
@@ -607,6 +721,54 @@ int cvrp_local_search(int n, const double* dist, const double* demands,
     off += (int)r.size();
   }
   return out_r;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Reusable local-search context: holds pointers to the caller's dist /
+// demands / coords buffers (which must outlive the context) and the computed
+// k-nearest-neighbor lists. Safe for concurrent cvrp_ls_improve calls.
+void* cvrp_ls_context_new(int n, const double* dist, const double* demands,
+                          double capacity, const double* coords,
+                          int k_granular) {
+  Context* ctx = new Context{
+      Problem{n, dist, demands, coords, capacity,
+              k_granular > 0 ? k_granular : 20, {}, {}}};
+  ctx->P.build_neighbors();
+  return ctx;
+}
+
+void cvrp_ls_context_free(void* ctx) { delete (Context*)ctx; }
+
+// Improve a CVRP solution in place using a prebuilt context.
+//   routes_flat / route_lens encode `n_routes` depot-free routes.
+//   count_limit caps applied moves; time_limit_s (<=0 disables) caps wall
+//   clock so a pathological instance can't stall the training loop.
+// Returns the resulting number of routes (empty routes dropped).
+int cvrp_ls_improve(void* ctx_v, int* routes_flat, int* route_lens,
+                    int n_routes, int count_limit, int use_swap_star,
+                    double time_limit_s) {
+  Context* ctx = (Context*)ctx_v;
+  Solution S = decode_routes(ctx->P, routes_flat, route_lens, n_routes);
+  improve(ctx->P, S, count_limit, use_swap_star != 0, time_limit_s);
+  return encode_routes(S, routes_flat, route_lens);
+}
+
+// One-shot entry (builds and frees a context around cvrp_ls_improve).
+// `coords` may be NULL: sector pruning then degrades to pair-version memos.
+int cvrp_local_search(int n, const double* dist, const double* demands,
+                      double capacity, const double* coords,
+                      int* routes_flat, int* route_lens, int n_routes,
+                      int count_limit, int k_granular, int use_swap_star,
+                      double time_limit_s) {
+  void* ctx = cvrp_ls_context_new(n, dist, demands, capacity, coords,
+                                  k_granular);
+  int out = cvrp_ls_improve(ctx, routes_flat, route_lens, n_routes,
+                            count_limit, use_swap_star, time_limit_s);
+  cvrp_ls_context_free(ctx);
+  return out;
 }
 
 // Full hybrid genetic search for one CVRP instance (the equivalent of the
@@ -628,7 +790,8 @@ double cvrp_solve(int n, const double* dist, const double* demands,
                   double time_limit_s, unsigned int seed, int ls_count,
                   int k_granular, int* routes_flat, int* route_lens,
                   int* n_routes_out) {
-  Problem P{n, dist, demands, capacity, k_granular > 0 ? k_granular : 20, {}};
+  Problem P{n, dist, demands, nullptr, capacity,
+            k_granular > 0 ? k_granular : 20, {}, {}};
   P.build_neighbors();
   std::mt19937 rng(seed);
   const int MU = 12, LAMBDA = 20, NB_ELITE = 4, NB_CLOSE = 3;
