@@ -60,6 +60,15 @@ class Family(NamedTuple):
     prepare: Callable[[dict], dict] = staticmethod(lambda inst: inst)
     classic_heu: Callable[[dict, int], jnp.ndarray] | None = None
     k_sparse: Callable[[int], int] = staticmethod(lambda n: max(n // 10, 3))
+    # Non-GNN families (MKP PH_items transformer) override the model and the
+    # forward pass wholesale:
+    #   model_ctor() -> flax module           (default: models.gnn.Net)
+    #   forward(model, variables, inst, k_sparse, train)
+    #       -> (heuristic [dense matrix or PH_items vector], new_batch_stats)
+    #   model_init(model, key, inst, k_sparse) -> variables
+    model_ctor: Callable[[], Any] | None = None
+    forward: Callable | None = None
+    model_init: Callable | None = None
 
 
 # ----------------------------------------------------------- generators ----
@@ -125,6 +134,17 @@ def gen_bpp(rng, n):
     demand = np.concatenate(
         [[0.0], rng.integers(20, 101, n)]).astype(np.float32)
     return {"demand": demand}
+
+
+def gen_mkp_items(rng, n, m=5):
+    """PH_items instances (mkp_transformer/utils.py:6-21): weights drawn as
+    ``[m, n]`` and normalized column-wise to capacity 1."""
+    price = rng.random(n, dtype=np.float32)
+    w = rng.random((m, n))
+    constraints = np.array([rng.uniform(w[j].max(), w[j].sum())
+                            for j in range(m)])
+    w = (w / constraints[:, None]).T
+    return {"prize": price, "weight": w.astype(np.float32)}
 
 
 def gen_sop(rng, n):
@@ -333,6 +353,51 @@ def _bpp_family():
             (inst["demand"].shape[0],) * 2).at[:, 0].set(1e-5))
 
 
+def _mkp_items_family():
+    """PH_items: TransformerModel over [price, weights] tokens, per-item
+    *vector* pheromone (mkp_transformer/{net,aco,train,test}.py)."""
+    from deepaco_tpu.aco.problems.mkp import mkp_items_spec
+    from deepaco_tpu.models.transformer import TransformerModel
+
+    def prepare(inst):
+        prize_e, weight_e = extend_mkp(inst["prize"], inst["weight"])
+        return {**inst, "prize_ext": prize_e, "weight_ext": weight_e}
+
+    def _src(inst):
+        # reformat(price, weight) -> [n, 1+m] tokens (mkp_transformer/utils.py:24-30)
+        return jnp.concatenate([inst["prize"][:, None], inst["weight"]],
+                               axis=1)
+
+    def forward(model, variables, inst, k_sparse, train):
+        heu = model.apply({"params": variables["params"]}, _src(inst)) + EPS
+        _, _, heu_e = extend_mkp(inst["prize"], inst["weight"], heu_vec=heu)
+        return heu_e, variables.get("batch_stats", {})
+
+    def classic_heu(inst, k):
+        heu = inst["prize"] / inst["weight"].sum(axis=1)
+        _, _, heu_e = extend_mkp(inst["prize"], inst["weight"], heu_vec=heu)
+        return heu_e
+
+    return Family(
+        name="mkp_items",
+        model_kwargs=(),
+        gen=gen_mkp_items,
+        graph=lambda inst, k: _src(inst),
+        heu_matrix=lambda g, out, inst: out,   # forward() already extends
+        spec=lambda tau, heu, inst, a: mkp_items_spec(
+            tau, heu, inst["weight_ext"], 1.0, a),
+        cost=lambda paths, inst: mkp_objective(inst["prize_ext"], paths),
+        aco=ACOConfig(maximize=True, cyclic=False, symmetric=False,
+                      vector_pheromone=True),
+        horizon_states=lambda n: (n + 1, n + 1),
+        extras=lambda inst: {"q": 1.0 / jnp.sum(inst["prize"])},
+        prepare=prepare,
+        classic_heu=classic_heu,
+        model_ctor=TransformerModel,
+        forward=forward,
+        model_init=lambda model, key, inst, k: model.init(key, _src(inst)))
+
+
 def _sop_family():
     return Family(
         name="sop",
@@ -361,6 +426,7 @@ FAMILIES = {
     "pctsp": _pctsp_family(),
     "smtwtp": _smtwtp_family(),
     "mkp": _mkp_family(),
+    "mkp_items": _mkp_items_family(),
     "bpp": _bpp_family(),
     "sop": _sop_family(),
 }

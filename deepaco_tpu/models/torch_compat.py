@@ -109,4 +109,9 @@ def load_reference_checkpoint(path: str) -> dict:
     import torch  # CPU-only torch, used solely for deserialization
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
+    if any(k.startswith("transformer_encoder") for k in sd):
+        # mkp_transformer checkpoints (mkp_transformer/net.py:9-45)
+        from deepaco_tpu.models.transformer import torch_transformer_to_flax
+
+        return torch_transformer_to_flax(sd)   # already {"params": ...}
     return torch_state_dict_to_flax(sd)

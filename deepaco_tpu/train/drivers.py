@@ -27,6 +27,8 @@ from deepaco_tpu.train.reinforce import TrainState, make_optimizer
 
 
 def family_model(family: Family) -> Net:
+    if family.model_ctor is not None:
+        return family.model_ctor(**dict(family.model_kwargs))
     return Net(**dict(family.model_kwargs))
 
 
@@ -40,6 +42,10 @@ def gen_batch(family: Family, rng: np.random.Generator, n: int,
 
 def _forward_heu(family, model, params, batch_stats, inst, k_sparse, train):
     """graph → GNN → heuristic matrix (+ updated batch stats)."""
+    if family.forward is not None:
+        return family.forward(model, {"params": params,
+                                      "batch_stats": batch_stats},
+                              inst, k_sparse, train)
     g = family.graph(inst, k_sparse)
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
@@ -104,8 +110,13 @@ def init_family_state(family: Family, model: Net, cfg: ProblemConfig,
                       rng_np: np.random.Generator) -> TrainState:
     inst = {k: jnp.asarray(v)
             for k, v in family.gen(rng_np, cfg.n_nodes).items()}
-    g = family.graph(family.prepare(inst), cfg.k_sparse)
-    variables = model.init(jax.random.PRNGKey(cfg.train.seed), g, train=False)
+    if family.model_init is not None:
+        variables = family.model_init(model, jax.random.PRNGKey(cfg.train.seed),
+                                      family.prepare(inst), cfg.k_sparse)
+    else:
+        g = family.graph(family.prepare(inst), cfg.k_sparse)
+        variables = model.init(jax.random.PRNGKey(cfg.train.seed), g,
+                               train=False)
     tx = make_optimizer(cfg, cfg.train.epochs * cfg.train.steps_per_epoch)
     return TrainState(params=variables["params"],
                       batch_stats=variables.get("batch_stats", {}),
@@ -160,6 +171,12 @@ def _eval_family(family: Family, model, k_sparse: int, t_max: int,
                                                family.aco.n_ants)
         cost_fn = lambda paths: family.cost(paths, inst)
         state = init_search(n_states, horizon, family.aco)
+        if family.aco.vector_pheromone:
+            # PH_items: per-item vector pheromone (mkp_transformer/aco.py:44)
+            tau0 = jnp.ones((n_states,), jnp.float32)
+            if family.aco.min_max:
+                tau0 = tau0 * family.aco.tau_min
+            state = state._replace(phe=state.phe._replace(tau=tau0))
         _, curve = run_anytime(spec_factory, cost_fn, family.aco, state,
                                key, t_max, **family.extras(inst))
         return curve
@@ -173,7 +190,7 @@ def evaluate_family(family_name: str, batch: dict, *, n_nodes: int,
                     variables=None, k_sparse: int | None = None,
                     n_ants: int = 20,
                     t_values=(1, 10, 20, 30, 40, 50, 100), seed: int = 0,
-                    mesh=None):
+                    mesh=None, b_chunk: int | None = None):
     """Anytime protocol over a dataset batch for any family.
 
     ``variables=None`` runs the classic-ACO A/B baseline. Returns
@@ -182,6 +199,11 @@ def evaluate_family(family_name: str, batch: dict, *, n_nodes: int,
     ``mesh``: a ``jax.sharding.Mesh`` with an ``"instance"`` axis — the batch
     shards across devices (colony sharding: each device sweeps its share of
     instances end-to-end; the only cross-device op is the final mean).
+
+    ``b_chunk``: evaluate instances in blocks of this size, one device
+    program per block (the TPU worker watchdog kills multi-minute programs;
+    100 instances x T=100 at n=500 is one otherwise). Defaults to the whole
+    batch below n=500, else blocks of ~10k ant-rollouts.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -196,7 +218,26 @@ def evaluate_family(family_name: str, batch: dict, *, n_nodes: int,
         if variables is not None:
             variables = jax.device_put(variables, NamedSharding(mesh, P()))
     t_max = int(max(t_values))
-    curves = _eval_family(family, model, k_sparse, t_max, n_nodes,
-                          variables, batch, jax.random.PRNGKey(seed))
+    b = jax.tree_util.tree_leaves(batch)[0].shape[0]
+    if b_chunk is None:
+        b_chunk = b if (n_nodes < 500 or mesh is not None) else \
+            max(1, 10_000 // max(n_ants * t_max // 100, 1))
+    if b_chunk >= b:
+        curves = _eval_family(family, model, k_sparse, t_max, n_nodes,
+                              variables, batch, jax.random.PRNGKey(seed))
+    else:
+        blocks = []
+        for s in range(0, b, b_chunk):
+            chunk = {k: v[s:s + b_chunk] for k, v in batch.items()}
+            real = jax.tree_util.tree_leaves(chunk)[0].shape[0]
+            if real < b_chunk:   # pad to the jitted shape; sliced off below
+                chunk = {k: jnp.concatenate(
+                    [v, jnp.repeat(v[:1], b_chunk - real, axis=0)])
+                    for k, v in chunk.items()}
+            cur = _eval_family(family, model, k_sparse, t_max, n_nodes,
+                               variables, chunk,
+                               jax.random.fold_in(jax.random.PRNGKey(seed), s))
+            blocks.append(np.asarray(cur)[:real])
+        curves = jnp.asarray(np.concatenate(blocks, axis=0))
     idx = jnp.asarray([t - 1 for t in t_values])
     return jnp.mean(curves[:, idx], axis=0), curves

@@ -18,7 +18,7 @@ from deepaco_tpu.train.drivers import (
 )
 
 SIZES = {"tsp": 16, "cvrp": 12, "op": 16, "pctsp": 12, "smtwtp": 12,
-         "mkp": 14, "bpp": 12, "sop": 12}
+         "mkp": 14, "mkp_items": 14, "bpp": 12, "sop": 12}
 
 
 def small_cfg(n):
