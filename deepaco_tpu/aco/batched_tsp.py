@@ -210,7 +210,7 @@ def run_anytime_batched(heu: jax.Array, dist: jax.Array, cfg: ACOConfig,
                         sample_dtype=jnp.bfloat16,
                         coords: jax.Array | None = None,
                         ls: str | None = None,
-                        ls_budget: int = 1000,
+                        ls_budget: int = 10000,
                         state=None, return_state: bool = False):
     """Batched dense anytime TSP sweep (the production bench path).
 

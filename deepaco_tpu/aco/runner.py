@@ -286,27 +286,28 @@ def _jit_run(cfg: ACOConfig, n_iterations: int, fixed_start, ls_type,
     if ls_type is not None:
         from deepaco_tpu.ops.two_opt import batched_nls, batched_two_opt, heuristic_dist
 
-        # inference LS budget: run to the fixed point (tsp_nls/aco.py:227 uses
-        # 10000; the while_loop exits at convergence anyway). ``coords`` is
-        # non-None only when the facade validated the Pallas whole-descent
-        # kernel applies (TPU backend + VMEM-supported size).
+        # inference LS budget: run to the fixed point. tsp_nls/aco.py:227
+        # uses max_iterations=10000 at inference — the while_loop exits at
+        # convergence, so the cap only bites on non-converged descents.
+        # ``coords`` is non-None only when the facade validated the Pallas
+        # whole-descent kernel applies (TPU backend + VMEM-supported size).
         if ls_type == "nls":
             hd = heuristic_dist(heuristic)
             if coords is not None:
                 from deepaco_tpu.ops.pallas_two_opt import batched_nls_euclid
 
                 ls_fn = lambda paths: batched_nls_euclid(
-                    coords, hd, paths.T, 1000).T
+                    coords, hd, paths.T, 10000).T
             else:
                 ls_fn = lambda paths: batched_nls(distances, hd, paths.T,
-                                                  1000).T
+                                                  10000).T
         elif coords is not None:
             from deepaco_tpu.ops.pallas_two_opt import batched_two_opt_euclid
 
             ls_fn = lambda paths: batched_two_opt_euclid(coords, paths.T,
-                                                         1000).T
+                                                         10000).T
         else:
-            ls_fn = lambda paths: batched_two_opt(distances, paths.T, 1000).T
+            ls_fn = lambda paths: batched_two_opt(distances, paths.T, 10000).T
     return run_anytime(spec_factory, cost_fn, cfg, state, rng, n_iterations,
                        ls_fn=ls_fn)
 

@@ -20,7 +20,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     tr = sub.add_parser("train", help="REINFORCE-train a neural heuristic")
     tr.add_argument("problem", choices=["tsp", "cvrp", "op", "pctsp",
-                                        "smtwtp", "mkp", "bpp", "sop"])
+                                        "smtwtp", "mkp", "mkp_items", "bpp",
+                                        "sop", "rcpsp"])
     tr.add_argument("-n", "--nodes", type=int, default=100)
     tr.add_argument("-k", "--k-sparse", type=int, default=None)
     tr.add_argument("-a", "--ants", type=int, default=20)
@@ -31,6 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("-o", "--output", default=None,
                     help="checkpoint path (.msgpack)")
+    tr.add_argument("--val-instances", type=int, default=0,
+                    help="per-epoch validation on a held-out batch of this "
+                         "size + best/last checkpoint selection "
+                         "(tsp_nls/train.py:99-122)")
+    tr.add_argument("--val-t", type=int, default=10,
+                    help="ACO iterations for the validation sweep")
     tr.add_argument("--local-search", choices=["2opt", "nls", "swapstar"],
                     default=None,
                     help="tsp: NLS-shaped advantage with on-device 2-opt/NLS "
@@ -39,7 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     te = sub.add_parser("test", help="anytime evaluation on golden datasets")
     te.add_argument("problem", choices=["tsp", "cvrp", "op", "pctsp",
-                                        "smtwtp", "mkp", "bpp", "sop"])
+                                        "smtwtp", "mkp", "mkp_items", "bpp",
+                                        "sop", "rcpsp"])
     te.add_argument("-n", "--nodes", type=int, default=100)
     te.add_argument("-k", "--k-sparse", type=int, default=None)
     te.add_argument("-a", "--ants", type=int, default=20)
@@ -52,9 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
     te.add_argument("--limit", type=int, default=None,
                     help="evaluate only the first N instances")
     te.add_argument("--seed", type=int, default=0)
-    te.add_argument("--local-search", choices=["2opt", "nls"], default=None,
-                    help="TSP only: apply on-device local search in the run "
-                         "loop (the tsp_nls protocol, tsp_nls/test.py:49-56)")
+    te.add_argument("--local-search", choices=["2opt", "nls", "swapstar"],
+                    default=None,
+                    help="tsp: on-device 2-opt/NLS in the run loop (the "
+                         "tsp_nls protocol, tsp_nls/test.py:49-56); cvrp: "
+                         "native SWAP* top-k refine (the cvrp_nls protocol, "
+                         "cvrp_nls/test.py:80-96)")
     te.add_argument("--per-instance", action="store_true",
                     help="with --local-search: drive the reference-style "
                          "per-instance ACO facade instead of the whole-batch "
@@ -83,6 +94,8 @@ def cmd_train(args) -> None:
 
     if getattr(args, "local_search", None):
         return _cmd_train_ls(args)
+    if args.problem == "rcpsp":
+        return _cmd_train_rcpsp(args)
     k = args.k_sparse or max(args.nodes // 10, 3)
     cfg = ProblemConfig(
         name=args.problem, n_nodes=args.nodes, k_sparse=k,
@@ -91,11 +104,16 @@ def cmd_train(args) -> None:
                           steps_per_epoch=args.steps,
                           batch_size=args.batch_size, seed=args.seed))
     t0 = time.time()
-    state = train_family(
-        args.problem, cfg,
-        progress=lambda ep, c: print(f"epoch {ep}: mean cost {c:.4f} "
-                                     f"({time.time() - t0:.1f}s)"))
     out = args.output or f"checkpoints/{args.problem}{args.nodes}.msgpack"
+
+    def prog(ep, c, val=None):
+        extra = "" if val is None else f", val best@T={args.val_t} {val:.4f}"
+        print(f"epoch {ep}: mean cost {c:.4f}{extra} "
+              f"({time.time() - t0:.1f}s)", flush=True)
+
+    state = train_family(args.problem, cfg, progress=prog,
+                         val_instances=args.val_instances, val_t=args.val_t,
+                         ckpt_path=out if args.val_instances else None)
     save_checkpoint(out, state)
     print(f"saved {out}")
 
@@ -142,12 +160,168 @@ def _cmd_train_ls(args) -> None:
     print(f"saved {out}")
 
 
+#: Root of the reference checkout for default pretrained checkpoints;
+#: override with DEEPACO_REFERENCE_ROOT on machines without it.
+REFERENCE_ROOT = os.environ.get("DEEPACO_REFERENCE_ROOT", "/root/reference")
+
+
+def _cmd_train_rcpsp(args) -> None:
+    """RCPSP training (reference rcpsp/train.ipynb): PSPLIB train split of
+    j{n}rcp, 1/n-scaled REINFORCE with grad-clip 1.0."""
+    from deepaco_tpu.core.rcpsp import load_psplib
+    from deepaco_tpu.train.special import train_rcpsp
+    from deepaco_tpu.utils.checkpoint import save_checkpoint
+
+    archive = f"{REFERENCE_ROOT}/data/rcpsp/psplib.tar.gz"
+    insts = load_psplib(archive, f"j{args.nodes}rcp", split="train")
+    horizon = max(d.t_max for d in insts)   # one jit bucket for the subset
+    insts = [d._replace(t_max=horizon) for d in insts]
+    t0 = time.time()
+    _, state = train_rcpsp(
+        insts, epochs=args.epochs, steps_per_epoch=args.steps,
+        n_ants=args.ants, lr=args.lr, seed=args.seed,
+        progress=lambda ep, c: print(f"epoch {ep}: mean makespan {c:.2f} "
+                                     f"({time.time() - t0:.1f}s)", flush=True))
+    out = args.output or f"checkpoints/rcpsp{args.nodes}.msgpack"
+    save_checkpoint(out, state)
+    print(f"saved {out}")
+
+
+def _cmd_test_rcpsp(args) -> None:
+    """RCPSP anytime protocol (rcpsp/test.ipynb cells 0-5): 100-instance
+    PSPLIB test split, elitist + MAX-MIN, neural or classic heuristic."""
+    from deepaco_tpu.core.rcpsp import load_psplib
+    from deepaco_tpu.eval.rcpsp import evaluate_rcpsp
+
+    archive = f"{REFERENCE_ROOT}/data/rcpsp/psplib.tar.gz"
+    insts = load_psplib(archive, f"j{args.nodes}rcp", split="test",
+                        limit=args.limit)
+    variables = None
+    if not args.classic:
+        if args.ckpt is None:
+            args.ckpt = _default_ckpt("rcpsp", args.nodes)
+        if args.ckpt.endswith(".pt"):
+            from deepaco_tpu.models.torch_compat import \
+                load_reference_checkpoint
+
+            variables = load_reference_checkpoint(args.ckpt)
+        else:
+            import jax
+
+            from deepaco_tpu.models.gnn import Net
+            from deepaco_tpu.train.reinforce import TrainState
+            from deepaco_tpu.train.special import rcpsp_graph_arrays, _block
+            from deepaco_tpu.utils.checkpoint import load_checkpoint
+            import optax
+
+            model = Net(pad_feats=5)
+            g0 = rcpsp_graph_arrays(insts[0])
+            tmpl_vars = model.init(jax.random.PRNGKey(0),
+                                   (g0[0], (_block(*g0[1:]),)), train=False)
+            tx = optax.adamw(1e-3)
+            template = TrainState(tmpl_vars["params"],
+                                  tmpl_vars.get("batch_stats", {}),
+                                  tx.init(tmpl_vars["params"]), 0)
+            state = load_checkpoint(args.ckpt, template)
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+    t0 = time.time()
+    means, _ = evaluate_rcpsp(insts, variables, n_ants=args.ants,
+                              t_values=tuple(args.t_aco), seed=args.seed)
+    duration = time.time() - t0
+    print(f"total duration: {duration:.2f}s")
+    for t, v in zip(args.t_aco, np.asarray(means)):
+        print(f"T={t}, average cost is {v:.6f}.")
+    print(json.dumps({"problem": "rcpsp", "n": args.nodes,
+                      "instances": len(insts), "t_aco": args.t_aco,
+                      "means": [float(v) for v in np.asarray(means)],
+                      "duration_s": duration}))
+
+
+def _cmd_test_cvrp_ls(args) -> None:
+    """CVRP-NLS anytime protocol (cvrp_nls/test.py:80-96): pretrained
+    heuristic, CVRPNLSACO with native SWAP* top-k refine in the run loop;
+    every final solution route-validated."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepaco_tpu.aco.problems.cvrp import validate_routes
+    from deepaco_tpu.aco.problems.cvrp_nls import CVRPNLSACO
+    from deepaco_tpu.core.builders import cvrp_nls_graph
+    from deepaco_tpu.models.gnn import Net
+    from deepaco_tpu.models.torch_compat import load_reference_checkpoint
+    from deepaco_tpu.utils import golden
+
+    n = args.nodes
+    k = args.k_sparse or 5   # customer-kNN width (cvrp_nls/utils.py:35)
+    ds = golden.GOLDEN["cvrp_nls"](n)
+    b = ds["coords"].shape[0] if not args.limit \
+        else min(args.limit, ds["coords"].shape[0])
+    if args.ckpt is None:
+        # the reference ships cvrp100/cvrp500 only; its big-scale protocol
+        # reuses the largest checkpoint (cvrp_nls/test.py takes -m explicitly)
+        for cand_n in (n, 500, 100):
+            cand = f"{REFERENCE_ROOT}/pretrained/cvrp_nls/cvrp{cand_n}.pt"
+            if os.path.exists(cand):
+                args.ckpt = cand
+                break
+        else:
+            raise SystemExit("no cvrp_nls checkpoint found; pass --ckpt")
+    variables = load_reference_checkpoint(args.ckpt)
+    model = Net()
+
+    @jax.jit
+    def heu_fn(dist, demand):
+        g = cvrp_nls_graph(demand, dist, k=k)
+        out = model.apply(variables, g, train=False)
+        outs = out[1] if isinstance(out, tuple) else out
+        _, blocks = g
+        nn = dist.shape[0]
+        heu = jnp.zeros((nn, nn))
+        for blk, h in zip(blocks, outs):
+            src = jnp.arange(nn) if blk.src is None else blk.src
+            rows = jnp.broadcast_to(src[:, None], blk.nbr.shape)
+            heu = heu.at[rows, blk.nbr].set(h)
+        return heu + 1e-10
+
+    ts = args.t_aco
+    curves = []
+    t0 = time.time()
+    for i in range(b):
+        ti = time.time()
+        dist = jnp.asarray(ds["dist"][i], jnp.float32)
+        demand = jnp.asarray(ds["demand"][i], jnp.float32)
+        heu = heu_fn(dist, demand)
+        aco = CVRPNLSACO(dist, demand, capacity=1.0, n_ants=args.ants,
+                         heuristic=heu, seed=args.seed + i)
+        curve, done = [], 0
+        for t in ts:
+            aco.run(t - done)
+            done = t
+            curve.append(float(aco.lowest_cost))
+        best = jnp.asarray(aco.state.best_path)[:, None]
+        assert bool(validate_routes(best, demand, 1.0)[0]), \
+            f"instance {i}: invalid best solution"
+        curves.append(curve)
+        print(f"inst {i}: {time.time() - ti:.1f}s", flush=True)
+    means = np.mean(np.asarray(curves), axis=0)
+    duration = time.time() - t0
+    print(f"total duration: {duration:.2f}s")
+    for t, v in zip(ts, means):
+        print(f"T={t}, average cost is {v:.6f}.")
+    print(json.dumps({"problem": "cvrp_nls", "n": n, "instances": b,
+                      "t_aco": ts, "means": means.tolist(),
+                      "duration_s": duration}))
+
+
 def _default_ckpt(problem: str, nodes: int) -> str:
     """Mirror the reference test drivers' default: the pretrained torch
     checkpoint for (problem, scale) (tsp_nls/test.py:75, cvrp/test.py)."""
-    import os
-
-    cands = [f"/root/reference/pretrained/{problem}/{problem}{nodes}.pt",
+    # reference checkpoint layouts that don't follow <problem>/<problem><n>.pt
+    special = {"mkp_items": f"mkp_transformer/mkp{nodes}.pt",
+               "rcpsp": f"rcpsp/rcpsp{nodes}-5.pt"}
+    cands = [f"{REFERENCE_ROOT}/pretrained/"
+             + special.get(problem, f"{problem}/{problem}{nodes}.pt"),
              f"checkpoints/{problem}{nodes}.msgpack"]
     for c in cands:
         if os.path.exists(c):
@@ -205,11 +379,17 @@ def cmd_test(args) -> None:
         # sampling distribution is unchanged in law
         jax.config.update("jax_default_prng_impl", "rbg")
 
+    if args.problem == "rcpsp":
+        return _cmd_test_rcpsp(args)
     ds = golden.GOLDEN[args.problem](args.nodes)
     if args.limit:
         ds = {k: v[:args.limit] for k, v in ds.items()}
     if getattr(args, "local_search", None):
-        assert args.problem == "tsp", "--local-search applies to tsp"
+        if args.problem == "cvrp":
+            assert args.local_search == "swapstar", \
+                "cvrp local search is the native SWAP* engine"
+            return _cmd_test_cvrp_ls(args)
+        assert args.problem == "tsp", "--local-search applies to tsp/cvrp"
         return _cmd_test_tsp_ls(args, ds)
     variables = None if args.classic else _load_variables(args)
     t0 = time.time()
@@ -244,7 +424,7 @@ def _cmd_test_tsp_ls(args, ds) -> None:
         # the LS protocol uses the start-node-feature net — default to the
         # tsp_nls pretrained weights, not tsp's 2-feat ones (the reference
         # stores them as pretrained/tsp_nls/tsp<n>.pt, tsp_nls/test.py:75)
-        cand = f"/root/reference/pretrained/tsp_nls/tsp{args.nodes}.pt"
+        cand = f"{REFERENCE_ROOT}/pretrained/tsp_nls/tsp{args.nodes}.pt"
         if os.path.exists(cand):
             args.ckpt = cand
         else:

@@ -161,7 +161,12 @@ def multi_colony_tsp_search(mesh: Mesh, heuristic, distances,
                                  jnp.atleast_1d(migrate_weight / gcost))
             if blend > 0.0:
                 tau = (1.0 - blend) * tau + blend * jax.lax.pmean(tau, axis)
-            state = state._replace(phe=state.phe._replace(tau=tau),
+            phe = state.phe._replace(tau=tau)
+            if cfg.min_max:
+                # re-assert the MAX-MIN invariant after the migration deposit
+                # / blend (otherwise tau can transiently exceed tau_max)
+                phe = ph.min_max_clamp(phe, cfg.tau_min)
+            state = state._replace(phe=phe,
                                    best_cost=gcost, best_path=gpath)
             return state, gcost
 

@@ -125,20 +125,68 @@ def init_family_state(family: Family, model: Net, cfg: ProblemConfig,
 
 
 def train_family(family_name: str, cfg: ProblemConfig,
-                 progress: Callable | None = None) -> TrainState:
-    """Full training driver for any registered family."""
+                 progress: Callable | None = None,
+                 val_instances: int = 0, val_t: int = 10,
+                 ckpt_path: str | None = None,
+                 logger=None) -> TrainState:
+    """Full training driver for any registered family.
+
+    ``val_instances > 0`` enables the reference's per-epoch validation +
+    best/last checkpoint selection (tsp_nls/train.py:99-122): a fixed
+    held-out batch (separate RNG stream) is swept with the anytime protocol
+    at ``t=val_t`` after every epoch; the best-so-far epoch is written to
+    ``<stem>-best.msgpack`` and every epoch to ``<stem>-last.msgpack``.
+    ``logger``: optional ``utils.metrics.MetricsLogger`` — emits
+    ``train_epoch`` / ``val`` events to the JSONL stream.
+    """
     family = get_family(family_name)
     model = family_model(family)
     rng_np = np.random.default_rng(cfg.train.seed)
     state = init_family_state(family, model, cfg, rng_np)
     step_fn = make_family_train_step(family, model, cfg)
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
+
+    val_batch = None
+    if val_instances > 0:
+        # held-out stream, disjoint from training by construction
+        val_batch = gen_batch(family, np.random.default_rng(cfg.train.seed
+                                                            + 777_777),
+                              cfg.n_nodes, val_instances)
+    best_val = np.inf
+    sign = -1.0 if family.aco.maximize else 1.0
+
+    def _validate(st):
+        means, _ = evaluate_family(
+            family_name, val_batch, n_nodes=cfg.n_nodes,
+            variables={"params": st.params, "batch_stats": st.batch_stats},
+            k_sparse=cfg.k_sparse, n_ants=cfg.aco.n_ants,
+            t_values=(val_t,), seed=cfg.train.seed)
+        return float(np.asarray(means)[0])
+
     for epoch in range(cfg.train.epochs):
         for _ in range(cfg.train.steps_per_epoch):
             batch = gen_batch(family, rng_np, cfg.n_nodes,
                               cfg.train.batch_size)
             rng, key = jax.random.split(rng)
             state, cost = step_fn(state, batch, key)
+        if logger is not None:
+            logger.log("train_epoch", epoch=epoch, mean_cost=float(cost))
+        if val_batch is not None:
+            val = _validate(state)
+            if logger is not None:
+                logger.log("val", epoch=epoch, t=val_t, mean_best=val)
+            if ckpt_path is not None:
+                from deepaco_tpu.utils.checkpoint import save_checkpoint
+
+                stem = ckpt_path[:-len(".msgpack")] \
+                    if ckpt_path.endswith(".msgpack") else ckpt_path
+                save_checkpoint(f"{stem}-last.msgpack", state)
+                if sign * val < best_val:
+                    best_val = sign * val
+                    save_checkpoint(f"{stem}-best.msgpack", state)
+            if progress is not None:
+                progress(epoch, float(cost), val)
+                continue
         if progress is not None:
             progress(epoch, float(cost))
     return state

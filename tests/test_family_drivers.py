@@ -15,6 +15,7 @@ from deepaco_tpu.train.drivers import (
     gen_batch,
     init_family_state,
     make_family_train_step,
+    train_family,
 )
 
 SIZES = {"tsp": 16, "cvrp": 12, "op": 16, "pctsp": 12, "smtwtp": 12,
@@ -76,3 +77,28 @@ def test_neural_eval_uses_trained_params():
         t_values=(1, 5),
         variables={"params": state.params, "batch_stats": state.batch_stats})
     assert np.all(np.isfinite(np.asarray(curves)))
+
+
+def test_train_family_validation_and_best_last_checkpoints(tmp_path):
+    """Per-epoch validation + best/last checkpoint selection
+    (reference tsp_nls/train.py:99-122)."""
+    import dataclasses
+
+    cfg = small_cfg(12)
+    cfg = dataclasses.replace(cfg,
+                              train=dataclasses.replace(cfg.train, epochs=2))
+    seen = []
+    state = train_family(
+        "tsp", cfg,
+        progress=lambda ep, c, val=None: seen.append((ep, c, val)),
+        val_instances=2, val_t=2, ckpt_path=str(tmp_path / "tsp12.msgpack"))
+    assert len(seen) == 2 and all(v is not None for _, _, v in seen)
+    assert (tmp_path / "tsp12-best.msgpack").exists()
+    assert (tmp_path / "tsp12-last.msgpack").exists()
+    # last checkpoint round-trips to the final state
+    from deepaco_tpu.utils.checkpoint import load_checkpoint
+
+    loaded = load_checkpoint(str(tmp_path / "tsp12-last.msgpack"), state)
+    a = jax.tree_util.tree_leaves(loaded.params)[0]
+    b = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
