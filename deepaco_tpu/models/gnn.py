@@ -139,12 +139,13 @@ class EmbNet(nn.Module):
     ``use_pallas``: None (auto) fuses each layer's gather phase — the two
     neighbor gathers + gate/mean + e_lin matmul — into one Pallas kernel
     (ops/pallas_kernels.fused_gnn_layer, a single one-hot MXU pass) on TPU
-    inference for regular single-block graphs; 3x faster than the XLA gather
-    path at TSP500 shapes and exact to ~1e-6 (it accumulates in fp32 HIGHEST,
+    for regular single-block graphs; 3x faster than the XLA gather path at
+    TSP500 shapes and exact to ~1e-6 (it accumulates in fp32 HIGHEST,
     tighter than XLA's default-precision matmul). True forces it (tests run
-    it in interpreter mode on CPU); False always uses the XLA path. The
-    fused path is inference-only (pallas_call has no reverse-mode AD), hence
-    the ``not train`` gate in auto mode; training keeps the XLA path.
+    it in interpreter mode on CPU); False always uses the XLA path. Under
+    ``train=True`` the fused path goes through ``fused_gnn_layer_ad`` — a
+    custom-VJP wrapper whose backward is the exact XLA-math gradient — so
+    training rides the kernel too.
     """
 
     depth: int = 12
@@ -174,8 +175,7 @@ class EmbNet(nn.Module):
             return jnp.arange(n) if b.src is None else b.src
 
         fused = (self.use_pallas is True) or (
-            self.use_pallas is None and not train
-            and jax.default_backend() == "tpu")
+            self.use_pallas is None and jax.default_backend() == "tpu")
         fused = (fused and self.node_update and len(blocks) == 1
                  and blocks[0].src is None and blocks[0].mask is None)
 
@@ -187,14 +187,16 @@ class EmbNet(nn.Module):
             x4 = dense(f"v_lins4_{i}")(x0)
 
             if fused:
-                from deepaco_tpu.ops.pallas_kernels import fused_gnn_layer
+                from deepaco_tpu.ops.pallas_kernels import (
+                    fused_gnn_layer, fused_gnn_layer_ad)
 
                 ew, ebias = _DenseParams(self.units, self.units,
                                          name=f"e_lins0_{i}")()
-                agg, pre0 = fused_gnn_layer(
+                layer = fused_gnn_layer_ad if train else (
+                    lambda *a: fused_gnn_layer(*a, use_pallas=True))
+                agg, pre0 = layer(
                     x2, x3, x4, blocks[0].nbr, ws0[0],
-                    ew.astype(self.dtype), ebias.astype(self.dtype),
-                    use_pallas=True)
+                    ew.astype(self.dtype), ebias.astype(self.dtype))
                 x = x0 + act(bn(f"v_bns_{i}", x1 + agg))
                 flat = bn(f"e_bns_{i}", pre0.reshape(-1, self.units))
                 ws = [ws0[0] + act(flat.reshape(pre0.shape))]

@@ -200,3 +200,66 @@ def test_fused_tsp_update_matches_cost_and_deposit():
     d_ref = tour_deposit_xla(n, paths, q / costs_ref)
     np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_gnn_layer_ad_gradients_match_xla():
+    """fused_gnn_layer_ad's custom VJP must equal jax.grad through the XLA
+    layer math for every differentiable input (x2, x3, x4, w, ew, eb)."""
+    from deepaco_tpu.ops.pallas_kernels import (fused_gnn_layer_ad,
+                                                fused_gnn_layer_xla)
+    rng = np.random.default_rng(1)
+    n, k, u = 40, 5, 32
+    x2 = jnp.asarray(rng.standard_normal((n, u)), jnp.float32)
+    x3 = jnp.asarray(rng.standard_normal((n, u)), jnp.float32)
+    x4 = jnp.asarray(rng.standard_normal((n, u)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((n, k, u)), jnp.float32)
+    nbr = jnp.asarray(rng.integers(0, n, (n, k)), jnp.int32)
+    ew = jnp.asarray(rng.standard_normal((u, u)) * 0.1, jnp.float32)
+    eb = jnp.asarray(rng.standard_normal(u) * 0.1, jnp.float32)
+    # a non-trivial scalar mixing both outputs
+    ca = jnp.asarray(rng.standard_normal((n, u)), jnp.float32)
+    cp = jnp.asarray(rng.standard_normal((n, k, u)), jnp.float32)
+
+    def loss(fn):
+        def inner(x2, x3, x4, w, ew, eb):
+            agg, pre = fn(x2, x3, x4, nbr, w, ew, eb)
+            return jnp.sum(agg * ca) + jnp.sum(jnp.tanh(pre) * cp)
+        return inner
+
+    g_ref = jax.grad(loss(fused_gnn_layer_xla),
+                     argnums=(0, 1, 2, 3, 4, 5))(x2, x3, x4, w, ew, eb)
+    g_ad = jax.grad(loss(fused_gnn_layer_ad),
+                    argnums=(0, 1, 2, 3, 4, 5))(x2, x3, x4, w, ew, eb)
+    for a, b, name in zip(g_ad, g_ref, ["x2", "x3", "x4", "w", "ew", "eb"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_fused_train_mode_model_gradients_match_xla_path():
+    """Net(use_pallas=True, train=True) gradients == Net(use_pallas=False):
+    the custom-VJP fused layer is a drop-in for the training loop."""
+    from deepaco_tpu.core.graph import knn_graph
+    from deepaco_tpu.models.gnn import Net
+
+    rng = np.random.default_rng(2)
+    coords = jnp.asarray(rng.random((30, 2)), jnp.float32)
+    d = jnp.linalg.norm(coords[:, None] - coords[None], axis=-1)
+    g = knn_graph(coords, d, k=8)
+    variables = Net(use_pallas=False).init(jax.random.PRNGKey(0), g,
+                                           train=False)
+
+    def loss_fn(params, use_pallas):
+        model = Net(use_pallas=use_pallas)
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            g, train=True, mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    from jax.flatten_util import ravel_pytree
+
+    g_ref = jax.grad(loss_fn)(variables["params"], False)
+    g_pal = jax.grad(loss_fn)(variables["params"], True)
+    flat_r, _ = ravel_pytree(g_ref)
+    flat_p, _ = ravel_pytree(g_pal)
+    np.testing.assert_allclose(np.asarray(flat_p), np.asarray(flat_r),
+                               rtol=2e-4, atol=2e-5)
