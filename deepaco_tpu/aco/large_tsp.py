@@ -68,6 +68,17 @@ def knn_support(coords: jax.Array, k: int) -> jax.Array:
     return blocks.reshape(-1, k)[:n]
 
 
+def sparse_tsp_graph(coords: jax.Array, nbr: jax.Array):
+    """SparseGraph over a precomputed support — the GNN input for large N.
+
+    Equivalent to ``core.graph.knn_graph`` (same node feats = coords, edge
+    feat = neighbor distance) but built WITHOUT the [N, N] distance matrix."""
+    from deepaco_tpu.core.graph import SparseGraph
+
+    edge = jnp.linalg.norm(coords[:, None] - coords[nbr], axis=-1)[..., None]
+    return SparseGraph(x=coords, nbr=nbr, edge=edge)
+
+
 def classic_knn_heuristic(coords: jax.Array, nbr: jax.Array) -> jax.Array:
     """1/dist on the support (the reference's ``sparsify`` prior,
     tsp/aco.py:51-67, in [N, K] layout)."""

@@ -73,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="with --local-search: drive the reference-style "
                          "per-instance ACO facade instead of the whole-batch "
                          "device program")
+    te.add_argument("--sparse", action="store_true",
+                    help="TSP only: the large-N O(N*K) path (aco/large_tsp) "
+                         "— [N,K] pheromone/scores, coordinate costs, no "
+                         "[N,N] matrix anywhere; supports n beyond the "
+                         "reference's 1000 (fixed-seed uniform instances are "
+                         "generated where no reference dataset exists)")
 
     sv = sub.add_parser(
         "solve-cvrp",
@@ -242,6 +248,78 @@ def _cmd_test_rcpsp(args) -> None:
                       "duration_s": duration}))
 
 
+def _cmd_test_tsp_sparse(args) -> None:
+    """Large-N sparse-state TSP protocol (aco/large_tsp.py).
+
+    For n with a reference golden set (<=1000) the instances are the golden
+    coords; beyond that, fixed-seed uniform instances (documented extension —
+    the reference has no data or engine at these scales)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepaco_tpu.aco.large_tsp import (classic_knn_heuristic, knn_support,
+                                           run_anytime_knn, sparse_tsp_graph)
+    from deepaco_tpu.aco.runner import ACOConfig
+    from deepaco_tpu.utils import golden
+
+    n = args.nodes
+    k = args.k_sparse or max(n // 10, 3)
+    if n <= 1000:
+        coords_all = golden.GOLDEN["tsp"](n)["coords"]
+    else:
+        rng = np.random.default_rng(123456)
+        count = args.limit or 30
+        coords_all = rng.random((count, n, 2)).astype(np.float32)
+    if args.limit:
+        coords_all = coords_all[:args.limit]
+
+    variables = None
+    if not args.classic:
+        if args.ckpt is None:
+            for cand_n in (n, 500, 100):   # largest available tsp checkpoint
+                cand = f"{REFERENCE_ROOT}/pretrained/tsp/tsp{cand_n}.pt"
+                if os.path.exists(cand):
+                    args.ckpt = cand
+                    break
+        variables = _load_variables(args)
+    if variables is not None:
+        from deepaco_tpu.models.gnn import Net
+
+        model = Net(dual_heads=True)
+
+        @jax.jit
+        def heu_fn(coords, nbr):
+            g = sparse_tsp_graph(coords, nbr)
+            _, heu = model.apply(variables, g, train=False)
+            return heu + 1e-10
+
+    cfg = ACOConfig(n_ants=args.ants)
+    ls = args.local_search
+    t_values = args.t_aco
+    t_max = max(t_values)
+    curves = []
+    t0 = time.time()
+    for i in range(coords_all.shape[0]):
+        coords = jnp.asarray(coords_all[i])
+        nbr = knn_support(coords, k)
+        heu = heu_fn(coords, nbr) if variables is not None \
+            else classic_knn_heuristic(coords, nbr)
+        curve, _ = run_anytime_knn(coords, nbr, heu, cfg, t_max, ls,
+                                   jax.random.fold_in(
+                                       jax.random.PRNGKey(args.seed), i))
+        curves.append(np.asarray(curve))
+    curves = np.stack(curves)
+    means = curves[:, [t - 1 for t in t_values]].mean(axis=0)
+    duration = time.time() - t0
+    print(f"total duration: {duration:.2f}s")
+    for t, v in zip(t_values, means):
+        print(f"T={t}, average cost is {v:.6f}.")
+    print(json.dumps({"problem": "tsp_sparse", "n": n,
+                      "instances": int(coords_all.shape[0]),
+                      "t_aco": t_values, "means": means.tolist(),
+                      "duration_s": duration}))
+
+
 def _cmd_test_cvrp_ls(args) -> None:
     """CVRP-NLS anytime protocol (cvrp_nls/test.py:80-96): pretrained
     heuristic, CVRPNLSACO with native SWAP* top-k refine in the run loop;
@@ -385,6 +463,9 @@ def cmd_test(args) -> None:
 
     if args.problem == "rcpsp":
         return _cmd_test_rcpsp(args)
+    if getattr(args, "sparse", False):
+        assert args.problem == "tsp", "--sparse applies to tsp"
+        return _cmd_test_tsp_sparse(args)
     ds = golden.GOLDEN[args.problem](args.nodes)
     if args.limit:
         ds = {k: v[:args.limit] for k, v in ds.items()}
