@@ -183,6 +183,86 @@ def extra_tsp2000_sparse():
             "tsp2000_cost_t5": round(float(c[-1]), 3)}
 
 
+def extra_mfu_phases():
+    """Device-utilization telemetry (VERDICT r2 missing #5).
+
+    Splits the TSP500 bench pipeline into its two device phases and reports,
+    per phase, wall time and achieved-FLOP/s ÷ chip peak (MFU):
+
+    * ``gnn`` — batched graph build + 12-layer GNN forward (the MXU matmul
+      phase). FLOPs are the analytic matmul count of the XLA-math layer
+      (4 node Dense + e_lin per layer + the two ParNet heads) — i.e. the
+      *algorithmically useful* flops, not the one-hot gather expansion.
+    * ``aco`` — T construction sweeps + pheromone updates. The dominant MXU
+      work is the fused deposit's one-hot contractions (2 per ant-direction,
+      [N, L] x [L, N] bf16); VPU construction work is reported as ant-steps/s
+      rather than folded into MFU.
+
+    Peak is looked up from ``device_kind`` (bf16 MXU peak per chip).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from deepaco_tpu.aco.batched_tsp import run_anytime_batched
+    from deepaco_tpu.aco.runner import ACOConfig
+    from deepaco_tpu.core.graph import knn_graph, scatter_to_dense
+    from deepaco_tpu.models.gnn import Net
+    from deepaco_tpu.models.torch_compat import load_reference_checkpoint
+    from deepaco_tpu.utils.datasets import distance_matrix, load_tsp_dataset
+
+    kind = jax.devices()[0].device_kind.lower()
+    peaks = {"v6": 918e12, "v5p": 459e12, "v5": 197e12, "v4": 275e12}
+    peak = next((v for k, v in peaks.items() if k in kind), 197e12)
+
+    coords = jax.device_put(
+        jnp.asarray(load_tsp_dataset(N_NODE, "test")[:B_TPU], jnp.float32))
+    model = Net(dual_heads=True)
+    variables = jax.device_put(load_reference_checkpoint(CKPT))
+    cfg = ACOConfig(n_ants=N_ANTS)
+
+    @jax.jit
+    def gnn_phase(cb):
+        def per(c):
+            dist = distance_matrix(c)
+            g = knn_graph(c, dist, K_SPARSE)
+            out = model.apply(variables, g, train=False)
+            return scatter_to_dense(g, out[1]) + 1e-10, dist
+        return jax.vmap(per)(cb)
+
+    @jax.jit
+    def aco_phase(heu, dist, key):
+        return run_anytime_batched(heu, dist, cfg, key, T_ITER)
+
+    def timed(fn, *args, reps=3):
+        np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])      # compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+        return (time.perf_counter() - t0) / reps, out
+
+    dt_gnn, (heu, dist) = timed(gnn_phase, coords)
+    dt_aco, _ = timed(aco_phase, heu, dist, jax.random.PRNGKey(3))
+
+    n, k, u, L = N_NODE, K_SPARSE, 32, 12
+    edges = n * k
+    per_layer = 4 * 2 * n * u * u + 2 * edges * u * u        # node + e_lin
+    heads = 2 * (2 * 2 * edges * u * u + 2 * edges * u)      # two ParNets
+    gnn_flops = B_TPU * (L * per_layer + heads)
+    # fused deposit: per ant, one [N, L] x [L, N] bf16 contraction per
+    # direction (L = horizon = N) -> 2 * 2 * N^2 * L MACs-as-flops
+    dep_flops = T_ITER * B_TPU * N_ANTS * 2 * 2 * n * n * n
+    ant_steps = B_TPU * N_ANTS * (n - 1) * T_ITER
+    return {
+        "device_kind": jax.devices()[0].device_kind,
+        "phase_gnn_s": round(dt_gnn, 4),
+        "phase_aco_s": round(dt_aco, 4),
+        "mfu_gnn": round(gnn_flops / dt_gnn / peak, 4),
+        "mfu_aco_deposit_mxu": round(dep_flops / dt_aco / peak, 4),
+        "construction_ant_steps_per_sec": round(ant_steps / dt_aco, 0),
+    }
+
+
 def reference_cpu_run(heu_mats, dist_mats):
     """Run the actual reference ACO engine (tsp/aco.py, torch-only) on CPU."""
     import torch
@@ -257,7 +337,7 @@ def main():
     # second family, the Pallas LS kernel, the training step, and the
     # beyond-reference sparse TSP2000 path; each is best-effort
     for fn in (extra_cvrp_construction, extra_pallas_ls, extra_train_step,
-               extra_tsp2000_sparse):
+               extra_tsp2000_sparse, extra_mfu_phases):
         try:
             out.update(fn())
         except Exception as e:             # pragma: no cover

@@ -178,7 +178,7 @@ def _batched_ls_fn(ls: str | None, coords, dist, heu, ls_budget: int):
         from deepaco_tpu.ops.pallas_two_opt import (
             batched_nls_euclid, batched_two_opt_euclid, pallas_ls_supported)
 
-        use_pallas = pallas_ls_supported(dist.shape[-1])
+        use_pallas = pallas_ls_supported(dist.shape[-1], ls)
 
     if ls == "nls":
         hd = heuristic_dist(heu)

@@ -51,19 +51,25 @@ def _n_words(n: int) -> int:
 def knn_support(coords: jax.Array, k: int) -> jax.Array:
     """``[N, K]`` nearest-neighbor ids by Euclidean distance (self excluded).
 
-    Computed in row tiles so no [N, N] distance matrix is materialized."""
+    Computed in row tiles so no [N, N] distance matrix is materialized.
+    Coordinates are padded up to a tile multiple so ``dynamic_slice`` never
+    clamps the last block's start — with clamping, the tail ``n % tile``
+    rows would silently receive earlier rows' neighbor lists (the padded
+    rows compute garbage against the real column set but are sliced off)."""
     n = coords.shape[0]
     tile = max(1, min(n, 4_000_000 // max(n, 1)))
+    n_pad = ((n + tile - 1) // tile) * tile
+    cpad = jnp.pad(coords, ((0, n_pad - n), (0, 0)))
 
     def row_block(start):
-        block = jax.lax.dynamic_slice(coords, (start, 0), (tile, 2))
+        block = jax.lax.dynamic_slice(cpad, (start, 0), (tile, 2))
         d = jnp.linalg.norm(block[:, None] - coords[None], axis=-1)
         rows = start + jnp.arange(tile)
         d = jnp.where(jnp.arange(n)[None, :] == rows[:, None], jnp.inf, d)
         _, idx = jax.lax.top_k(-d, k)
         return idx.astype(jnp.int32)
 
-    starts = jnp.arange(0, ((n + tile - 1) // tile) * tile, tile)
+    starts = jnp.arange(0, n_pad, tile)
     blocks = jax.lax.map(row_block, starts)
     return blocks.reshape(-1, k)[:n]
 
@@ -106,13 +112,17 @@ def _unpack_unvisited(words: jax.Array, n: int) -> jax.Array:
 
 
 def sweep_construct_knn(score: jax.Array, nbr: jax.Array, start: jax.Array,
-                        rng: jax.Array) -> jax.Array:
+                        rng: jax.Array, with_stats: bool = False):
     """One construction sweep for one instance over the sparse support.
 
     score [N, K] (bf16 ok), nbr [N, K], start [A] → paths [N, A] int32.
     Fallback steps (any ant with its whole neighborhood visited) sample
     uniformly over that ant's unvisited set, gated by ``lax.cond`` so the
     O(A·N) unpack only runs when needed.
+
+    ``with_stats=True`` additionally returns the number of ant-steps that
+    took the uniform fallback (scalar int32) — the telemetry behind the
+    module's documented approximation (scripts/fallback_rate.py).
     """
     n, k = nbr.shape
     a = start.shape[0]
@@ -145,11 +155,14 @@ def sweep_construct_knn(score: jax.Array, nbr: jax.Array, start: jax.Array,
             lambda: fallback(cur, words, k_f, action, exhausted),
             lambda: action)
         words = _set_bit(words, action)
-        return (action, words), action
+        return (action, words), (action, jnp.sum(exhausted.astype(jnp.int32)))
 
     keys = jax.random.split(rng, n - 1)
-    _, path = jax.lax.scan(step, (start, words0), keys)
-    return jnp.concatenate([start[None, :], path], axis=0)  # [N, A]
+    _, (path, n_fb) = jax.lax.scan(step, (start, words0), keys)
+    paths = jnp.concatenate([start[None, :], path], axis=0)  # [N, A]
+    if with_stats:
+        return paths, jnp.sum(n_fb)
+    return paths
 
 
 def tour_cost_coords(coords: jax.Array, paths: jax.Array) -> jax.Array:

@@ -184,7 +184,7 @@ class ACO:
             from deepaco_tpu.ops.pallas_two_opt import pallas_ls_supported
 
             if (jax.default_backend() == "tpu"
-                    and pallas_ls_supported(self.n)):
+                    and pallas_ls_supported(self.n, local_search)):
                 self.coords = jnp.asarray(coords, jnp.float32)
         self.cfg = ACOConfig(n_ants=n_ants, decay=decay, alpha=alpha,
                              beta=beta, elitist=elitist, min_max=min_max,

@@ -178,6 +178,14 @@ class EmbNet(nn.Module):
             self.use_pallas is None and jax.default_backend() == "tpu")
         fused = (fused and self.node_update and len(blocks) == 1
                  and blocks[0].src is None and blocks[0].mask is None)
+        if fused and self.use_pallas is None:
+            # auto mode respects the kernel's VMEM envelope: dense-graph
+            # families (K = N, e.g. MKP300) overflow the per-core budget —
+            # see ops.pallas_kernels.fused_gnn_supported.
+            from deepaco_tpu.ops.pallas_kernels import fused_gnn_supported
+
+            fused = fused_gnn_supported(n, blocks[0].nbr.shape[1],
+                                        self.units)
 
         for i in range(self.depth):
             x0, ws0 = x, ws

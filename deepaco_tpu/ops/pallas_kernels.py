@@ -185,6 +185,21 @@ def _fused_layer_kernel(k_const, x24_ref, x3_ref, nbr_ref, w_ref, ew_ref,
     agg_ref[:] = acc * (1.0 / k_const)
 
 
+def fused_gnn_supported(n: int, k: int, u: int) -> bool:
+    """Whether the fused Pallas layer fits the per-core VMEM budget.
+
+    The tile-halving estimate below captures the block traffic, but the
+    kernel's Python-unrolled neighbor loop also leaves Mosaic with O(k)
+    scheduled temporaries ([tile, n] one-hots + [tile, u] partials) whose
+    peak allocation grows with k — measured: MKP n=301 dense (k=301, u=32)
+    OOMs at 17.01 MB even at tile=16, while k<=128-ish shapes (TSP500 k=50,
+    CVRP100/SMTWTP100 dense k=101) fit comfortably. Dense-graph families at
+    k > 160 therefore route to ``fused_gnn_layer_xla`` — where the one-hot
+    gather trick is also no longer a win (its MXU cost is O(n^2 k u) there
+    versus XLA's plain gather)."""
+    return k * u <= 160 * 32 and k <= 160
+
+
 def fused_gnn_layer_pallas(x2, x3, x4, nbr, w, ew, eb, tile: int | None = None):
     """Gather phase of one EmbNet layer, fused over row tiles.
 

@@ -246,25 +246,30 @@ def _tiled_two_opt_kernel(n, npad, tile, max_it, coords_ref, tours_ref,
 
     def permute_columns(S, src_row):
         """S'[:, j] = S[:, src[j]] — column-tiled one-hot contraction
-        (f32 one-hot x f32 values at HIGHEST = exact selection)."""
+        (f32 one-hot x f32 values at HIGHEST = exact selection).
+
+        The tile loop is a *Python* unroll over the static ``nt`` so every
+        slice index is a compile-time constant — Mosaic has no lowering for
+        dynamic_update_slice on TPU, so a ``fori_loop`` version fails to
+        compile whenever nt > 1 (i.e. every size this kernel exists for)."""
         k_iota = lax.broadcasted_iota(jnp.int32, (npad, tile), 0)
-
-        def body(ti, out):
-            seg = lax.dynamic_slice(src_row, (0, ti * tile), (1, tile))
+        outs = []
+        for ti in range(nt):
+            seg = src_row[:, ti * tile:(ti + 1) * tile]        # static slice
             R = (k_iota == seg.astype(jnp.int32)).astype(f32)  # [npad, tile]
-            St = lax.dot_general(S, R, (((1,), (0,)), ((), ())),
-                                 precision=HIGHEST)            # [16, tile]
-            return lax.dynamic_update_slice(out, St, (0, ti * tile))
-
-        return lax.fori_loop(0, nt, body, jnp.zeros_like(S))
+            outs.append(lax.dot_general(S, R, (((1,), (0,)), ((), ())),
+                                        precision=HIGHEST))    # [16, tile]
+        return jnp.concatenate(outs, axis=1) if nt > 1 else outs[0]
 
     def flip(S, p, q):
         src = jnp.where((j_row >= p) & (j_row <= q), p + q - j_row, j_row)
         return permute_columns(S, src.astype(f32))
 
     def tile_cols(M, i0, rows):
-        """[rows, npad] view -> transposed [tile, rows] segment at i0."""
-        seg = lax.dynamic_slice(M, (0, i0), (rows, tile))
+        """[rows, npad] view -> transposed [tile, rows] segment at i0.
+
+        ``i0`` is a Python int (static unroll) so the slice is constant."""
+        seg = M[:rows, i0:i0 + tile]
         return lax.dot_general(ident_t, seg, (((1,), (1,)), ((), ())),
                                precision=HIGHEST)              # [tile, rows]
 
@@ -281,7 +286,10 @@ def _tiled_two_opt_kernel(n, npad, tile, max_it, coords_ref, tours_ref,
         Hu = jnp.concatenate([Hxu, Hyu], axis=0)               # [2, npad]
         Hc = jnp.concatenate([Hx, Hy], axis=0)
 
-        def body(ti, carry):
+        # Python unroll over the static tile count (see permute_columns for
+        # why — constant slice starts are required for Mosaic lowering).
+        carry = (jnp.asarray(jnp.inf, f32), jnp.int32(npad), jnp.int32(npad))
+        for ti in range(nt):
             g, r, c = carry
             i0 = ti * tile
             Tu = tile_cols(Hu, i0, 2)                          # [tile, 2]
@@ -302,21 +310,17 @@ def _tiled_two_opt_kernel(n, npad, tile, max_it, coords_ref, tours_ref,
                 jnp.where(gi == tr, delta, 0.0), axis=0, keepdims=True)
             tc = jnp.min(jnp.where(rowvals == tg, j_row, npad))
             better = tg < g                       # strict: earlier tile wins
-            return (jnp.where(better, tg, g),
-                    jnp.where(better, tr, r),
-                    jnp.where(better, tc, c))
-
-        return lax.fori_loop(
-            0, nt, body, (jnp.asarray(jnp.inf, f32), jnp.int32(npad),
-                          jnp.int32(npad)))
+            carry = (jnp.where(better, tg, g),
+                     jnp.where(better, tr, r),
+                     jnp.where(better, tc, c))
+        return carry
 
     # ---- assemble state: permute the coordinate table by the input tour ----
     CT8 = coords_ref[...]                                      # [8, npad]
     tour0 = tours_ref[0].astype(f32)                           # [1, npad]
-    S0 = jnp.zeros((16, npad), f32)
-    S0 = lax.dynamic_update_slice(S0, CT8[0:2, :], (0, 0))
+    S0 = jnp.concatenate([CT8[0:2, :], jnp.zeros((14, npad), f32)], axis=0)
     S0 = permute_columns(S0, tour0)           # rows 0/1 = coords[tour_j]
-    S0 = lax.dynamic_update_slice(S0, tour0, (2, 0))
+    S0 = jnp.concatenate([S0[0:2, :], tour0, S0[3:, :]], axis=0)
 
     def cond(carry):
         _, it, last = carry
@@ -399,8 +403,17 @@ def batched_two_opt_euclid(coords, tours, max_iterations: int):
     """
     n = coords.shape[0]
     if not pallas_ls_supported(n, "2opt"):
+        import warnings
+
         from deepaco_tpu.utils.datasets import distance_matrix
 
+        # past the tiled kernel's cap the fallback densifies to [N, N] —
+        # breaking large_tsp's no-dense-matrix contract; surface it loudly
+        # at trace time instead of silently allocating O(N^2).
+        warnings.warn(
+            f"batched_two_opt_euclid: n={n} exceeds the tiled Pallas cap "
+            f"({MAX_NPAD_TILED}); falling back to the XLA path which "
+            f"materializes an [N, N] distance matrix", stacklevel=2)
         return batched_two_opt(distance_matrix(coords), tours, max_iterations)
     if _npad(n) > MAX_NPAD:            # 1024 < n <= 4096: tiled kernel
         return _tiled_two_opt_call(coords, tours, max_iterations)

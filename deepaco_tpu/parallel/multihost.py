@@ -51,12 +51,21 @@ def init_distributed(coordinator_address: str | None = None,
     if process_id is None and "DEEPACO_PROCESS_ID" in os.environ:
         process_id = int(os.environ["DEEPACO_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
-        # single-process run (or TPU-pod auto-detect): initialize only when
-        # the TPU runtime advertises a pod; otherwise stay single-process
-        return
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+        # No explicit cluster config. On a TPU pod the runtime metadata
+        # carries everything jax.distributed needs — detect that via the
+        # standard TPU env markers and call initialize() WITH NO ARGUMENTS
+        # (the auto-detect path). Anywhere else stay single-process: calling
+        # initialize() on a bare CPU/GPU host would hang waiting for a
+        # coordinator that does not exist.
+        pod_markers = ("TPU_WORKER_HOSTNAMES", "TPU_SKYLARK_HOST_BOUNDS",
+                       "MEGASCALE_COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID")
+        if not any(m in os.environ for m in pod_markers):
+            return
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
     init_distributed._done = True
 
 

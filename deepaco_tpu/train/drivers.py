@@ -271,9 +271,12 @@ def evaluate_family(family_name: str, batch: dict, *, n_nodes: int,
         # ~15M ant-construction-steps per device program (~60-90s at n=500):
         # multi-minute programs trip the TPU worker watchdog and crash the
         # relay worker (measured: 100 instances x T=100 x 20 ants at n=500
-        # in one program -> UNAVAILABLE worker crash)
-        b_chunk = b if (n_nodes < 500 or mesh is not None) else \
-            max(1, 15_000_000 // max(n_ants * t_max * n_nodes, 1))
+        # in one program -> UNAVAILABLE worker crash). The budget counts the
+        # family's ROLLOUT HORIZON, not n_nodes — CVRP's horizon is 2n, so
+        # an n_nodes-based budget ran ~2x over and still crashed the worker.
+        _, horizon = family.horizon_states(n_nodes)
+        b_chunk = b if (horizon < 500 or mesh is not None) else \
+            max(1, 15_000_000 // max(n_ants * t_max * horizon, 1))
     if b_chunk >= b:
         curves = _eval_family(family, model, k_sparse, t_max, n_nodes,
                               variables, batch, jax.random.PRNGKey(seed))

@@ -1,116 +1,110 @@
 #!/usr/bin/env python
-"""Measure how often the sparse sweep's dense fallback fires at bench scale,
-and per-phase cost of one ACO iteration (construct vs pheromone update)."""
+"""Telemetry for the sparse [N, K] TSP path (deepaco_tpu.aco.large_tsp).
+
+Measures, at bench scale (default n=2000, K=n/10), the two documented
+approximations of the sparse engine vs the dense reference semantics:
+
+  * uniform-fallback rate — fraction of ant-steps where the current city's
+    whole k-NN neighborhood was already visited and the sweep sampled
+    uniformly over the remaining unvisited set;
+  * dropped-deposit fraction — fraction of constructed tour edges (u, v)
+    with v not in u's k-NN list, whose pheromone deposit is dropped.
+
+Also runs a small sparse-vs-dense A/B: the same instances through the dense
+batched engine (full [N, N] score/pheromone state) to anchor solution
+quality. Usage: python scripts/fallback_rate.py [n] [T]
+"""
+import sys
 import time
 
 import numpy as np
 
-N, K, A, B, T = 500, 50, 20, 100, 10
-CKPT = "/root/reference/pretrained/tsp/tsp500.pt"
-
 
 def main():
-    import functools
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    t_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    k = max(n // 10, 3)
+    n_inst, n_ants = 4, 20
+
     import jax
-    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
-    from deepaco_tpu.aco.runner import ACOConfig, init_search, search_update
-    from deepaco_tpu.aco.sparse_tsp import sweep_construct
-    from deepaco_tpu.aco.problems.tsp import tour_cost
-    from deepaco_tpu.core.graph import knn_graph, scatter_to_dense
-    from deepaco_tpu.models.gnn import Net
-    from deepaco_tpu.models.torch_compat import load_reference_checkpoint
-    from deepaco_tpu.utils.datasets import distance_matrix, load_tsp_dataset
 
-    coords = jax.device_put(
-        jnp.asarray(load_tsp_dataset(N, "test")[:B], jnp.float32))
-    model = Net(dual_heads=True)
-    variables = jax.device_put(load_reference_checkpoint(CKPT))
-    cfg = ACOConfig(n_ants=A)
+    from deepaco_tpu.aco.large_tsp import (
+        classic_knn_heuristic, deposit_knn, knn_support, sweep_construct_knn,
+        tour_cost_coords)
+    from deepaco_tpu.aco.runner import ACOConfig
+
+    cfg = ACOConfig(n_ants=n_ants)
+    rng_np = np.random.default_rng(1234)
+    coords_all = jnp.asarray(rng_np.random((n_inst, n, 2), np.float32))
 
     @jax.jit
-    def prep(coords_batch):
-        def per(c):
-            dist = distance_matrix(c)
-            g = knn_graph(c, dist, K)
-            _, heu = model.apply(variables, g, train=False)
-            return scatter_to_dense(g, heu) + 1e-10, dist, g.nbr
-        return jax.vmap(per)(coords_batch)
+    def sweep_stats(coords, rng):
+        """T sparse ACO iterations with fallback + off-support-edge counts."""
+        nbr = knn_support(coords, k)
+        heu = classic_knn_heuristic(coords, nbr)
+        log_heu = cfg.beta * jnp.log(jnp.maximum(heu, 1e-30))
+        tau0 = jnp.ones((n, k), jnp.float32)
 
-    heu, dist, nbr = jax.block_until_ready(prep(coords))
-    log_heu = jnp.log(jnp.maximum(heu, 1e-30))
+        def body(carry, key):
+            tau, best = carry
+            score = (cfg.alpha * jnp.log(jnp.maximum(tau, 1e-30))
+                     + log_heu).astype(jnp.bfloat16)
+            k_start, k_sweep = jax.random.split(key)
+            start = jax.random.randint(k_start, (n_ants,), 0, n)
+            paths, n_fb = sweep_construct_knn(score, nbr, start, k_sweep,
+                                              with_stats=True)
+            costs = tour_cost_coords(coords, paths)
+            best = jnp.minimum(best, jnp.min(costs))
+            # off-support edges = deposits the sparse update drops
+            u, v = paths, jnp.roll(paths, -1, axis=0)
+            on = jnp.any(nbr[u] == v[..., None], axis=-1)
+            n_off = jnp.sum(1 - on.astype(jnp.int32))
+            tau = deposit_knn(tau * cfg.decay, nbr, paths, cfg.q / costs,
+                              cfg.symmetric)
+            return (tau, best), (n_fb, n_off, best)
 
-    @jax.jit
-    def iters_with_counts(rng):
-        state = jax.vmap(lambda _: init_search(N, N - 1, cfg))(jnp.arange(B))
-        def body(state, key):
-            score_d = jnp.log(jnp.maximum(state.phe.tau, 1e-30)) + log_heu
-            score_s = jnp.take_along_axis(score_d, nbr, axis=-1)
-            k1, k2 = jax.random.split(key)
-            start = jax.random.randint(k1, (B, A), 0, N)
-            paths, nd = sweep_construct(score_d, score_s, nbr, start, k2,
-                                        count_dense=True)
-            costs = jax.vmap(tour_cost)(dist, paths)
-            state = jax.vmap(
-                functools.partial(search_update, cfg))(state, paths, costs)
-            return state, (nd, state.best_cost.mean())
-        _, (nds, bc) = jax.lax.scan(body, state,
-                                    jax.random.split(rng, T))
-        return nds, bc
+        (_, best), (fbs, offs, curve) = jax.lax.scan(
+            body, (tau0, jnp.asarray(jnp.inf)),
+            jax.random.split(rng, t_iters))
+        return fbs, offs, curve
 
-    nds, bc = iters_with_counts(jax.random.PRNGKey(0))
-    print("dense steps per iteration (of", N - 1, "):", np.asarray(nds))
-    print("mean best cost curve:", np.round(np.asarray(bc), 3))
+    t0 = time.time()
+    fbs, offs, curves = [], [], []
+    for i in range(n_inst):
+        f, o, c = jax.block_until_ready(
+            sweep_stats(coords_all[i], jax.random.PRNGKey(i)))
+        fbs.append(np.asarray(f)); offs.append(np.asarray(o))
+        curves.append(np.asarray(c))
+    ant_steps = n_ants * (n - 1)
+    tour_edges = n_ants * n
+    fb_rate = float(np.mean(fbs)) / ant_steps
+    off_rate = float(np.mean(offs)) / tour_edges
+    sparse_best = float(np.mean([c[-1] for c in curves]))
+    print(f"n={n} K={k} ants={n_ants} T={t_iters} inst={n_inst} "
+          f"({time.time()-t0:.1f}s)")
+    print(f"uniform-fallback rate: {fb_rate:.4%} of ant-steps")
+    print(f"dropped-deposit rate:  {off_rate:.4%} of tour edges")
+    print(f"sparse mean best cost: {sparse_best:.3f}")
 
-    # --- phase timing: construct-only vs update-only --------------------
-    score_d = jnp.log(jnp.ones_like(heu)) + log_heu
-    score_s = jnp.take_along_axis(score_d, nbr, axis=-1)
-    start = jnp.zeros((B, A), jnp.int32)
+    # ---- dense A/B on the same instances (full [N, N] state) --------------
+    from deepaco_tpu.aco.batched_tsp import run_anytime_batched
+    from deepaco_tpu.utils.datasets import distance_matrix
 
-    @jax.jit
-    def construct_only(rng):
-        keys = jax.random.split(rng, T)
-        def body(c, k):
-            paths = sweep_construct(score_d, score_s, nbr, start, k)
-            return c + paths[0, 0, 0], c
-        c, _ = jax.lax.scan(body, jnp.int32(0), keys)
-        return c
-
-    state0 = jax.vmap(lambda _: init_search(N, N - 1, cfg))(jnp.arange(B))
-    paths0 = jnp.tile(jax.random.permutation(
-        jax.random.PRNGKey(1), N)[None, :, None], (B, 1, A)).astype(jnp.int32)
-    costs0 = jax.vmap(tour_cost)(dist, paths0)
-
-    @jax.jit
-    def update_only(rng):
-        def body(state, k):
-            state = jax.vmap(functools.partial(search_update, cfg))(
-                state, paths0, costs0 + k[0].astype(jnp.float32) * 0)
-            return state, state.best_cost[0]
-        st, _ = jax.lax.scan(body, state0, jax.random.split(rng, T))
-        return st.phe.tau.sum()
-
-    @jax.jit
-    def score_refresh_only(rng):
-        def body(tau, k):
-            sd = jnp.log(jnp.maximum(tau, 1e-30)) + log_heu
-            ss = jnp.take_along_axis(sd, nbr, axis=-1)
-            return tau * 0.999 + ss.mean() * 0, sd[0, 0, 0]
-        tau, _ = jax.lax.scan(body, jnp.ones_like(heu),
-                              jax.random.split(rng, T))
-        return tau.sum()
-
-    def timeit(label, fn, reps=3):
-        np.asarray(fn(jax.random.PRNGKey(2)))
-        t0 = time.perf_counter()
-        for r in range(reps):
-            np.asarray(fn(jax.random.PRNGKey(3 + r)))
-        dt = (time.perf_counter() - t0) / reps
-        print(f"{label:28s} {dt*1e3:8.1f} ms total, {dt/T*1e3:7.1f} ms/iter")
-
-    timeit("construct only (sparse+fb)", construct_only)
-    timeit("pheromone update only", update_only)
-    timeit("score refresh only", score_refresh_only)
+    t0 = time.time()
+    dist = jax.vmap(distance_matrix)(coords_all)
+    heu_d = 1.0 / jnp.maximum(dist, 1e-12)
+    curve = run_anytime_batched(heu_d, dist, cfg, jax.random.PRNGKey(7),
+                                t_iters)
+    dense_best = float(np.mean(np.asarray(curve)[:, -1]))
+    print(f"dense  mean best cost: {dense_best:.3f} "
+          f"({time.time()-t0:.1f}s)  gap sparse-vs-dense: "
+          f"{(sparse_best - dense_best) / dense_best:+.2%}")
+    import json
+    print(json.dumps({"n": n, "k": k, "fallback_rate": fb_rate,
+                      "dropped_deposit_rate": off_rate,
+                      "sparse_best": sparse_best,
+                      "dense_best": dense_best}))
 
 
 if __name__ == "__main__":

@@ -1,25 +1,32 @@
 #!/usr/bin/env python
 """Run the complete reference evaluation matrix on the TPU, resumably.
 
-Every cell = one CLI subprocess (per-problem process isolation keeps the TPU
-client fresh across the long sweep); its final JSON line is appended to
-``results/matrix.jsonl`` keyed by cell id. Already-recorded cells are
-skipped, so the sweep can be re-launched after interruptions.
+Cells are the per-problem, per-scale protocol runs of the reference test
+drivers (SURVEY §6). Results append to ``results/matrix.jsonl`` keyed by
+cell id; already-recorded ok cells are skipped on re-launch.
 
-Protocols per reference test drivers:
-  tsp/cvrp/pctsp/op/smtwtp/sop/mkp/rcpsp: T={1,10,20,30,40,50,100}, 20 ants
-  mkp_items: T={1,5,10,20,50}; bpp: T={1,5,10,20}   (their test.py values)
-  tsp_nls:  T=1..10, 48 ants (tsp_nls/test.py:49-56)
-  cvrp_nls: T=1..10, 20 ants (cvrp_nls/test.py:80-96)
-All cells use the 100-instance golden test sets (PSPLIB test split for
-rcpsp). Usage: python scripts/run_matrix.py [--only PREFIX] [--dry]
+Execution model (round-3: cut the per-process TPU relay warm-up, measured
+~1000s wall for 12s of device work on tsp20):
+
+* SMALL cells (short device programs) run GROUPED — several cells share one
+  worker subprocess (``--worker id1,id2,...``) that drives the CLI
+  in-process and appends results itself. One TPU client warm-up per group.
+* BIG cells (n>=500 horizons, NLS/LS pipelines, rcpsp) stay one-per-process
+  for crash isolation.
+* Any cell that failed inside a group is retried SOLO afterwards, so a
+  poisoned TPU client can't take down its group-mates' results for good.
+
+Usage: python scripts/run_matrix.py [--only PREFIX] [--dry]
 """
 import argparse
+import contextlib
+import io
 import json
 import os
 import subprocess
 import sys
 import time
+import traceback
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(ROOT, "results", "matrix.jsonl")
@@ -29,12 +36,15 @@ T5 = ["1", "5", "10", "20", "50"]
 T4 = ["1", "5", "10", "20"]
 T10 = [str(t) for t in range(1, 11)]
 
+GROUP_SIZE = 6          # small cells per worker process
+
 
 def cells():
+    """[(cell_id, cli_args, timeout_s, small)] for all 58 protocol cells."""
     out = []
 
-    def cell(cid, args, timeout=2400):
-        out.append((cid, args, timeout))
+    def cell(cid, args, timeout=2400, small=False):
+        out.append((cid, args, timeout, small))
 
     # --- generic families, neural + classic --------------------------------
     for prob, scales, ts in [
@@ -50,8 +60,9 @@ def cells():
     ]:
         for n in scales:
             base = ["test", prob, "-n", str(n), "-t", *ts]
-            cell(f"{prob}{n}-neural", base)
-            cell(f"{prob}{n}-classic", base + ["--classic"])
+            small = n < 300     # short device programs, group them
+            cell(f"{prob}{n}-neural", base, 2400, small)
+            cell(f"{prob}{n}-classic", base + ["--classic"], 2400, small)
 
     # --- RCPSP (PSPLIB j30/j60/j120 test splits) ---------------------------
     for n, chunk, tmo in [(30, 25, 2400), (60, 10, 3600), (120, 5, 5400)]:
@@ -84,58 +95,131 @@ def done_ids():
     return ids
 
 
+def _append(rec):
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def run_worker(cell_ids):
+    """In-process driver for a group of cells (one TPU client for all)."""
+    from deepaco_tpu import cli
+
+    table = {c: (a, tmo) for c, a, tmo, _ in cells()}
+    for cid in cell_ids:
+        if cid in done_ids():
+            continue
+        cargs, _ = table[cid]
+        t0 = time.time()
+        print(f"[worker {time.strftime('%H:%M:%S')}] {cid} ...", flush=True)
+        buf = io.StringIO()
+        try:
+            with contextlib.redirect_stdout(buf):
+                cli.main(cargs)
+        except BaseException:
+            _append({"cell": cid, "error": "failed-in-group",
+                     "stderr_tail": traceback.format_exc()[-400:]})
+            print(f"  FAILED in-process: {traceback.format_exc(limit=2)}",
+                  flush=True)
+            continue
+        line = None
+        for ln in reversed(buf.getvalue().splitlines()):
+            if ln.startswith("{"):
+                line = ln
+                break
+        if line is None:
+            _append({"cell": cid, "error": "failed-in-group",
+                     "stderr_tail": "no JSON line"})
+            continue
+        rec = json.loads(line)
+        rec["cell"] = cid
+        rec["wall_s"] = round(time.time() - t0, 1)
+        _append(rec)
+        print(f"  ok in {rec['wall_s']}s: T={rec['t_aco'][-1]} -> "
+              f"{rec['means'][-1]:.4f}", flush=True)
+
+
+def run_solo(cid, cargs, tmo):
+    t0 = time.time()
+    print(f"[{time.strftime('%H:%M:%S')}] {cid} ...", flush=True)
+    try:
+        p = subprocess.run(
+            [sys.executable, "-m", "deepaco_tpu", *cargs],
+            capture_output=True, text=True, timeout=tmo, cwd=ROOT)
+    except subprocess.TimeoutExpired:
+        print(f"  TIMEOUT after {tmo}s", flush=True)
+        _append({"cell": cid, "error": "timeout", "timeout_s": tmo})
+        return
+    line = None
+    for ln in reversed(p.stdout.splitlines()):
+        if ln.startswith("{"):
+            line = ln
+            break
+    if p.returncode != 0 or line is None:
+        print(f"  FAILED rc={p.returncode}: {p.stderr[-400:]}", flush=True)
+        _append({"cell": cid, "error": "failed", "rc": p.returncode,
+                 "stderr_tail": p.stderr[-400:]})
+        return
+    rec = json.loads(line)
+    rec["cell"] = cid
+    rec["wall_s"] = round(time.time() - t0, 1)
+    _append(rec)
+    print(f"  ok in {rec['wall_s']}s: T={rec['t_aco'][-1]} -> "
+          f"{rec['means'][-1]:.4f}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None,
                     help="run only cells whose id starts with this prefix")
     ap.add_argument("--dry", action="store_true")
+    ap.add_argument("--worker", default=None,
+                    help="(internal) comma-separated cell ids to run "
+                         "in-process")
+    ap.add_argument("--no-group", action="store_true",
+                    help="run every cell in its own process (round-2 mode)")
     args = ap.parse_args()
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    if args.worker:
+        run_worker(args.worker.split(","))
+        return
+
     skip = done_ids()
-    todo = [(c, a, tmo) for c, a, tmo in cells()
+    todo = [(c, a, tmo, small) for c, a, tmo, small in cells()
             if c not in skip and (args.only is None
                                   or c.startswith(args.only))]
     print(f"{len(todo)} cells to run ({len(skip)} already recorded)",
           flush=True)
     if args.dry:
-        for c, a, _ in todo:
-            print(c, " ".join(a))
+        for c, a, _, small in todo:
+            print(("S " if small else "  ") + c, " ".join(a))
         return
 
-    for cid, cargs, tmo in todo:
-        t0 = time.time()
-        print(f"[{time.strftime('%H:%M:%S')}] {cid} ...", flush=True)
+    small = [t for t in todo if t[3] and not args.no_group]
+    big = [t for t in todo if not (t[3] and not args.no_group)]
+
+    # ---- grouped pass over small cells ------------------------------------
+    for s in range(0, len(small), GROUP_SIZE):
+        grp = small[s:s + GROUP_SIZE]
+        ids = ",".join(c for c, _, _, _ in grp)
+        tmo = sum(t for _, _, t, _ in grp)
+        print(f"[group] {ids}", flush=True)
         try:
             p = subprocess.run(
-                [sys.executable, "-m", "deepaco_tpu", *cargs],
-                capture_output=True, text=True, timeout=tmo, cwd=ROOT)
+                [sys.executable, os.path.abspath(__file__), "--worker", ids],
+                timeout=tmo, cwd=ROOT)
+            if p.returncode != 0:
+                print(f"  group exited rc={p.returncode}", flush=True)
         except subprocess.TimeoutExpired:
-            print(f"  TIMEOUT after {tmo}s", flush=True)
-            with open(OUT, "a") as f:
-                f.write(json.dumps({"cell": cid, "error": "timeout",
-                                    "timeout_s": tmo}) + "\n")
-            continue
-        line = None
-        for ln in reversed(p.stdout.splitlines()):
-            if ln.startswith("{"):
-                line = ln
-                break
-        if p.returncode != 0 or line is None:
-            print(f"  FAILED rc={p.returncode}: {p.stderr[-400:]}",
-                  flush=True)
-            with open(OUT, "a") as f:
-                f.write(json.dumps({"cell": cid, "error": "failed",
-                                    "rc": p.returncode,
-                                    "stderr_tail": p.stderr[-400:]}) + "\n")
-            continue
-        rec = json.loads(line)
-        rec["cell"] = cid
-        rec["wall_s"] = round(time.time() - t0, 1)
-        with open(OUT, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-        print(f"  ok in {rec['wall_s']}s: T={rec['t_aco'][-1]} -> "
-              f"{rec['means'][-1]:.4f}", flush=True)
+            print(f"  group TIMEOUT after {tmo}s", flush=True)
+
+    # ---- retry group casualties solo, then big cells ----------------------
+    ok = done_ids()
+    for cid, cargs, tmo, _ in small:
+        if cid not in ok:
+            run_solo(cid, cargs, tmo)
+    for cid, cargs, tmo, _ in big:
+        run_solo(cid, cargs, tmo)
 
 
 if __name__ == "__main__":

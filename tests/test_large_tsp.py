@@ -31,6 +31,36 @@ def test_knn_support_matches_dense_topk(inst):
     np.testing.assert_array_equal(np.sort(ref, axis=1), got)
 
 
+def test_knn_support_tail_rows_when_n_not_tile_multiple():
+    """n=2048 makes the row tile 1953 (4M/n), so the last 95 rows are a
+    partial block: with a clamped dynamic_slice they silently received
+    earlier rows' neighbor lists (round-2 advisor finding)."""
+    n, k = 2048, 12
+    rng = np.random.default_rng(11)
+    coords = jnp.asarray(rng.random((n, 2)), jnp.float32)
+    nbr = np.asarray(knn_support(coords, k))
+    d = np.linalg.norm(np.asarray(coords)[:, None]
+                       - np.asarray(coords)[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    ref = np.argsort(d, axis=1, kind="stable")[:, :k]
+    np.testing.assert_array_equal(np.sort(ref, axis=1), np.sort(nbr, axis=1))
+
+
+def test_sweep_construct_knn_stats_counts_fallbacks(inst):
+    coords, nbr = inst
+    heu = classic_knn_heuristic(coords, nbr)
+    score = jnp.log(jnp.maximum(heu, 1e-30)).astype(jnp.bfloat16)
+    start = jnp.zeros((4,), jnp.int32)
+    paths, n_fb = sweep_construct_knn(score, nbr, start,
+                                      jax.random.PRNGKey(3), with_stats=True)
+    plain = sweep_construct_knn(score, nbr, start, jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(paths), np.asarray(plain))
+    fb = int(n_fb)
+    assert 0 <= fb <= 4 * (120 - 1)
+    # small n / k=15: the endgame must hit at least one exhausted neighborhood
+    assert fb > 0
+
+
 def test_construction_yields_permutations(inst):
     coords, nbr = inst
     heu = classic_knn_heuristic(coords, nbr)
@@ -94,6 +124,25 @@ def test_tiled_descent_exact_parity_with_xla():
     rng = np.random.default_rng(3)
     coords = jnp.asarray(rng.random((70, 2)), jnp.float32)
     tours = jnp.asarray(np.stack([rng.permutation(70) for _ in range(3)]),
+                        jnp.int32)
+    ref = batched_two_opt(distance_matrix(coords), tours, 10000)
+    got = _tiled_two_opt_call(coords, tours, 10000)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_tiled_descent_parity_multi_tile():
+    """nt >= 2 exercises the unrolled tile loops (the fori_loop version
+    failed Mosaic lowering on device whenever npad/_TILE > 1 — round-2
+    advisor finding). n=300 -> npad=512 -> 2 tiles."""
+    from deepaco_tpu.ops.pallas_two_opt import _TILE, _tiled_two_opt_call
+    from deepaco_tpu.ops.two_opt import batched_two_opt
+    from deepaco_tpu.utils.datasets import distance_matrix
+
+    n = 300
+    assert -(-n // _TILE) >= 2
+    rng = np.random.default_rng(5)
+    coords = jnp.asarray(rng.random((n, 2)), jnp.float32)
+    tours = jnp.asarray(np.stack([rng.permutation(n) for _ in range(2)]),
                         jnp.int32)
     ref = batched_two_opt(distance_matrix(coords), tours, 10000)
     got = _tiled_two_opt_call(coords, tours, 10000)
