@@ -30,6 +30,8 @@ import traceback
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(ROOT, "results", "matrix.jsonl")
+if ROOT not in sys.path:        # script invocation puts scripts/ first, not
+    sys.path.insert(0, ROOT)    # the repo root the worker imports from
 
 T7 = ["1", "10", "20", "30", "40", "50", "100"]
 T5 = ["1", "5", "10", "20", "50"]
