@@ -45,6 +45,7 @@ class RCPSPConfig(NamedTuple):
     tau_min: float = 0.1
     elitist: bool = False
     min_max: bool = False
+    backfill: bool = False   # SSGS decoder mode — see ssgs_schedule
 
     @property
     def direct_only(self) -> bool:
@@ -97,11 +98,21 @@ def rcpsp_spec(phe: jax.Array, heu: jax.Array, data: RCPSPData,
                        mask=mask_fn, step=step, probs_fn=probs_fn)
 
 
-def ssgs_schedule(data: RCPSPData, sequence: jax.Array) -> jax.Array:
+def ssgs_schedule(data: RCPSPData, sequence: jax.Array,
+                  backfill: bool = False) -> jax.Array:
     """Serial schedule generation for one topological activity list ``[n]``.
 
     Returns start times ``[n]``. Feasible by construction; horizon bound
     ``t_max = sum(duration)`` always admits the serial fallback.
+
+    ``backfill=False`` (default) reproduces the REFERENCE decoder exactly:
+    its ``Resource.request`` asserts non-decreasing request timestamps
+    (rcpsp_inst.py:78-79), so each activity starts no earlier than every
+    previously scheduled one — no gap backfilling. ``backfill=True`` is the
+    TPU-era improvement: the earliest feasible window anywhere >= the
+    precedence bound, which fills resource gaps and yields systematically
+    shorter (still validator-feasible) schedules — measured ~4 makespan
+    points better on the j30 golden subset at T=20.
     """
     n, m = data.resources.shape
     T = data.t_max
@@ -109,12 +120,14 @@ def ssgs_schedule(data: RCPSPData, sequence: jax.Array) -> jax.Array:
     t_slots = jnp.arange(T)           # usage timeline slots
 
     def sched_one(carry, j):
-        usage, end_time, start = carry
+        usage, end_time, start, last_start = carry
         dur = data.duration[j]
         req = data.resources[j]
         est = jnp.maximum(
             jnp.max(jnp.where(data.adj[:, j] > 0, end_time, 0)),
             data.earliest_start[j])
+        if not backfill:
+            est = jnp.maximum(est, last_start)
         viol = jnp.any(usage + req[None, :] > data.capacity[None, :], axis=1)
         csum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                 jnp.cumsum(viol.astype(jnp.int32))])
@@ -126,19 +139,21 @@ def ssgs_schedule(data: RCPSPData, sequence: jax.Array) -> jax.Array:
         usage = usage + in_win[:, None].astype(usage.dtype) * req[None, :]
         end_time = end_time.at[j].set(t_star + dur)
         start = start.at[j].set(t_star)
-        return (usage, end_time, start), None
+        return (usage, end_time, start, jnp.maximum(last_start, t_star)), None
 
     init = (jnp.zeros((T, m), jnp.int32), jnp.zeros((n,), jnp.int32),
-            jnp.zeros((n,), jnp.int32))
-    (_, _, start), _ = jax.lax.scan(sched_one, init, sequence)
+            jnp.zeros((n,), jnp.int32), jnp.int32(0))
+    (_, _, start, _), _ = jax.lax.scan(sched_one, init, sequence)
     return start
 
 
-def makespans(data: RCPSPData, paths: jax.Array) -> jax.Array:
+def makespans(data: RCPSPData, paths: jax.Array,
+              backfill: bool = False) -> jax.Array:
     """Decode all ants' activity lists → makespan (start of final dummy).
 
     ``paths`` is ``[n, A]`` (reference update_cost, rcpsp/aco.py:221-236)."""
-    starts = jax.vmap(lambda seq: ssgs_schedule(data, seq))(paths.T)
+    starts = jax.vmap(
+        lambda seq: ssgs_schedule(data, seq, backfill))(paths.T)
     return starts[:, -1].astype(jnp.float32)
 
 
@@ -155,7 +170,7 @@ def rcpsp_iteration(data: RCPSPData, heu: jax.Array, cfg: RCPSPConfig,
     (rcpsp/aco.py:238-256)."""
     spec = rcpsp_spec(state.tau, heu, data, cfg)
     ro = rollout(spec, rng, require_prob=False)
-    costs = makespans(data, ro.paths)
+    costs = makespans(data, ro.paths, cfg.backfill)
 
     it_best = jnp.argmin(costs)
     it_cost = costs[it_best]
@@ -190,12 +205,13 @@ class RCPSPACO:
                  alpha: float = 1.0, beta: float = 2.0, gamma: float = 0.0,
                  c: float = 0.6, q: float = 1.0, elitist: bool = False,
                  min_max: bool = False, heuristic=None, pheromone=None,
-                 tau_min: float = 0.1, seed: int = 0):
+                 tau_min: float = 0.1, seed: int = 0,
+                 backfill: bool = False):
         self.data = data
         self.cfg = RCPSPConfig(n_ants=n_ants, decay=decay, alpha=alpha,
                                beta=beta, gamma=gamma, c=c, q=q,
                                tau_min=tau_min, elitist=elitist,
-                               min_max=min_max)
+                               min_max=min_max, backfill=backfill)
         self.heuristic = (default_rcpsp_heuristic(data) if heuristic is None
                           else jnp.asarray(heuristic, jnp.float32))
         tau = (jnp.ones((data.n, data.n), jnp.float32) if pheromone is None
@@ -217,7 +233,8 @@ class RCPSPACO:
         """(costs, log_probs, paths) — training sweep (rcpsp/aco.py:215-219)."""
         spec = rcpsp_spec(self.state.tau, self.heuristic, self.data, self.cfg)
         ro = rollout(spec, self._next_key(), require_prob=True)
-        return makespans(self.data, ro.paths), ro.log_probs, ro.paths
+        return (makespans(self.data, ro.paths, self.cfg.backfill),
+                ro.log_probs, ro.paths)
 
     def run(self, n_iterations: int):
         self.state, _ = _rcpsp_jit_run(
@@ -231,7 +248,7 @@ class RCPSPACO:
         import numpy as np
 
         route = jnp.asarray(self.state.best_path)
-        schedule = ssgs_schedule(self.data, route)
+        schedule = ssgs_schedule(self.data, route, self.cfg.backfill)
         return np.asarray(route), np.asarray(schedule), float(self.state.best_cost)
 
 

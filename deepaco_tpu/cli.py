@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="with --local-search: drive the reference-style "
                          "per-instance ACO facade instead of the whole-batch "
                          "device program")
+    te.add_argument("--backfill", action="store_true",
+                    help="rcpsp: decode with the gap-filling SSGS variant "
+                         "(shorter schedules than the reference's "
+                         "append-only decoder; see aco/problems/rcpsp.py)")
     te.add_argument("--sparse", action="store_true",
                     help="TSP only: the large-N O(N*K) path (aco/large_tsp) "
                          "— [N,K] pheromone/scores, coordinate costs, no "
@@ -237,7 +241,8 @@ def _cmd_test_rcpsp(args) -> None:
     t0 = time.time()
     means, _ = evaluate_rcpsp(insts, variables, n_ants=args.ants,
                               t_values=tuple(args.t_aco), seed=args.seed,
-                              b_chunk=args.b_chunk or 25)
+                              b_chunk=args.b_chunk or 25,
+                              backfill=getattr(args, "backfill", False))
     duration = time.time() - t0
     print(f"total duration: {duration:.2f}s")
     for t, v in zip(args.t_aco, np.asarray(means)):
@@ -245,6 +250,7 @@ def _cmd_test_rcpsp(args) -> None:
     print(json.dumps({"problem": "rcpsp", "n": args.nodes,
                       "instances": len(insts), "t_aco": args.t_aco,
                       "means": [float(v) for v in np.asarray(means)],
+                      "backfill": bool(getattr(args, "backfill", False)),
                       "duration_s": duration}))
 
 

@@ -81,7 +81,7 @@ def evaluate_rcpsp(instances: list[RCPSPData], variables=None, *,
                    n_ants: int = 20,
                    t_values=(1, 10, 20, 30, 40, 50, 100), seed: int = 0,
                    elitist: bool = True, min_max: bool = True,
-                   b_chunk: int | None = 25):
+                   b_chunk: int | None = 25, backfill: bool = False):
     """Anytime protocol over a PSPLIB subset.
 
     ``variables=None`` runs the classic A/B (default heuristic). Returns
@@ -89,7 +89,11 @@ def evaluate_rcpsp(instances: list[RCPSPData], variables=None, *,
 
     ``b_chunk`` bounds the size of each device program (j120's SSGS timeline
     makes a single 100-instance x T=100 program multi-minute — the TPU
-    worker watchdog kills those)."""
+    worker watchdog kills those).
+
+    ``backfill`` selects the SSGS decoder: False = the reference's
+    append-only scheduler (protocol parity), True = the gap-filling
+    improvement (see ``ssgs_schedule``)."""
     # Uniform static horizon so the instance axis stacks/vmaps; padding the
     # SSGS timeline up is feasibility-preserving.
     horizon = max(d.t_max for d in instances)
@@ -98,7 +102,8 @@ def evaluate_rcpsp(instances: list[RCPSPData], variables=None, *,
         heus = rcpsp_heuristics(datas, variables)
     else:
         heus = jnp.stack([default_rcpsp_heuristic(d) for d in datas])
-    cfg = RCPSPConfig(n_ants=n_ants, elitist=elitist, min_max=min_max)
+    cfg = RCPSPConfig(n_ants=n_ants, elitist=elitist, min_max=min_max,
+                      backfill=backfill)
     t_max_iter = int(max(t_values))
     b = len(datas)
     b_chunk = b if b_chunk is None else min(b_chunk, b)

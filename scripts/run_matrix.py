@@ -38,7 +38,7 @@ T5 = ["1", "5", "10", "20", "50"]
 T4 = ["1", "5", "10", "20"]
 T10 = [str(t) for t in range(1, 11)]
 
-GROUP_SIZE = 6          # small cells per worker process
+GROUP_SIZE = 10          # cells per worker process (amortize relay stalls)
 
 
 def cells():
@@ -62,24 +62,30 @@ def cells():
     ]:
         for n in scales:
             base = ["test", prob, "-n", str(n), "-t", *ts]
-            small = n < 300     # short device programs, group them
-            cell(f"{prob}{n}-neural", base, 2400, small)
-            cell(f"{prob}{n}-classic", base + ["--classic"], 2400, small)
+            # ALL generic-family cells are short device programs (10-300s
+            # measured) — group them: the dominant wall cost is the relay's
+            # per-process TPU acquisition stall (up to ~15-25 min, measured
+            # sop50-classic 837s / bpp120 25min+ for seconds of device work)
+            cell(f"{prob}{n}-neural", base, 2400, True)
+            cell(f"{prob}{n}-classic", base + ["--classic"], 2400, True)
 
     # --- RCPSP (PSPLIB j30/j60/j120 test splits) ---------------------------
+    # grouped too: their device programs are chunked (b_chunk) and short;
+    # the relay acquisition stall dominates a solo process just the same
     for n, chunk, tmo in [(30, 25, 2400), (60, 10, 3600), (120, 5, 5400)]:
         base = ["test", "rcpsp", "-n", str(n), "-t", *T7,
                 "--b-chunk", str(chunk)]
-        cell(f"rcpsp{n}-neural", base, tmo)
-        cell(f"rcpsp{n}-classic", base + ["--classic"], tmo)
+        cell(f"rcpsp{n}-neural", base, tmo, True)
+        cell(f"rcpsp{n}-classic", base + ["--classic"], tmo, True)
 
-    # --- LS pipelines -------------------------------------------------------
+    # --- LS pipelines (grouped: chunked device programs + host-side LS) ----
     for n in (100, 500, 1000):
         cell(f"tsp_nls{n}", ["test", "tsp", "-n", str(n), "-a", "48",
-                             "--local-search", "nls", "-t", *T10], 5400)
+                             "--local-search", "nls", "-t", *T10], 5400, True)
     for n, tmo in [(100, 3600), (500, 7200), (1000, 10800)]:
         cell(f"cvrp_nls{n}", ["test", "cvrp", "-n", str(n),
-                              "--local-search", "swapstar", "-t", *T10], tmo)
+                              "--local-search", "swapstar", "-t", *T10],
+             tmo, True)
     return out
 
 

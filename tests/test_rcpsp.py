@@ -116,3 +116,32 @@ def test_summation_evaluation_matches_prefix_reduction(j30):
         actions = np.array([np.nonzero(mask[a])[0][0] for a in range(4)])
         state = spec.step(state, jnp.asarray(actions))
         route.append(actions)
+
+
+def test_ssgs_backfill_vs_reference_decoder(j30):
+    """Round-3: default decode matches the reference's append-only SSGS
+    (Resource.request asserts non-decreasing start times,
+    rcpsp_inst.py:78-79); backfill=True fills gaps and can only shorten."""
+    rng = np.random.default_rng(0)
+    adj = np.asarray(j30.adj)
+    n = j30.n
+    # random topological order via Kahn with shuffled ready set
+    indeg = adj.sum(axis=0).astype(int)
+    ready = [i for i in range(n) if indeg[i] == 0]
+    seq = []
+    while ready:
+        i = ready.pop(rng.integers(len(ready)))
+        seq.append(i)
+        for j in np.nonzero(adj[i])[0]:
+            indeg[j] -= 1
+            if indeg[j] == 0:
+                ready.append(int(j))
+    seq = jnp.asarray(seq)
+    s_ref = np.asarray(ssgs_schedule(j30, seq, backfill=False))
+    s_bf = np.asarray(ssgs_schedule(j30, seq, backfill=True))
+    assert check_schedule(j30, s_ref) and check_schedule(j30, s_bf)
+    # reference semantics: start times non-decreasing in list order
+    starts_in_order = s_ref[np.asarray(seq)]
+    assert np.all(np.diff(starts_in_order) >= 0)
+    # backfill can only improve the makespan
+    assert s_bf[-1] <= s_ref[-1]
