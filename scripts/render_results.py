@@ -33,10 +33,14 @@ def main():
     pairs = defaultdict(dict)
     ls_rows = []
     for cell, r in sorted(recs.items()):
-        if cell.endswith("-neural"):
-            pairs[cell[:-len("-neural")]]["neural"] = r
-        elif cell.endswith("-classic"):
-            pairs[cell[:-len("-classic")]]["classic"] = r
+        key = cell
+        if key.endswith("-backfill"):     # rcpsp gap-filling decoder variant
+            key = key[:-len("-backfill")]
+            r = dict(r, problem=r["problem"] + " (backfill)")
+        if key.endswith("-neural"):
+            pairs[key[:-len("-neural")] + r["problem"]]["neural"] = r
+        elif key.endswith("-classic"):
+            pairs[key[:-len("-classic")] + r["problem"]]["classic"] = r
         else:
             ls_rows.append((cell, r))
 
