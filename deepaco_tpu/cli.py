@@ -472,14 +472,17 @@ def cmd_test(args) -> None:
     if getattr(args, "sparse", False):
         assert args.problem == "tsp", "--sparse applies to tsp"
         return _cmd_test_tsp_sparse(args)
+    if getattr(args, "local_search", None) and args.problem == "cvrp":
+        # dispatch BEFORE loading golden data: the NLS pipeline has its own
+        # dataset family (cvrp_nls scales go to 1000/2000 where the vanilla
+        # cvrp golden writer stops at 500)
+        assert args.local_search == "swapstar", \
+            "cvrp local search is the native SWAP* engine"
+        return _cmd_test_cvrp_ls(args)
     ds = golden.GOLDEN[args.problem](args.nodes)
     if args.limit:
         ds = {k: v[:args.limit] for k, v in ds.items()}
     if getattr(args, "local_search", None):
-        if args.problem == "cvrp":
-            assert args.local_search == "swapstar", \
-                "cvrp local search is the native SWAP* engine"
-            return _cmd_test_cvrp_ls(args)
         assert args.problem == "tsp", "--local-search applies to tsp/cvrp"
         return _cmd_test_tsp_ls(args, ds)
     variables = None if args.classic else _load_variables(args)
