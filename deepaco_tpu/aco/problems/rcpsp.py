@@ -105,14 +105,22 @@ def ssgs_schedule(data: RCPSPData, sequence: jax.Array,
     Returns start times ``[n]``. Feasible by construction; horizon bound
     ``t_max = sum(duration)`` always admits the serial fallback.
 
-    ``backfill=False`` (default) reproduces the REFERENCE decoder exactly:
-    its ``Resource.request`` asserts non-decreasing request timestamps
-    (rcpsp_inst.py:78-79), so each activity starts no earlier than every
-    previously scheduled one — no gap backfilling. ``backfill=True`` is the
-    TPU-era improvement: the earliest feasible window anywhere >= the
-    precedence bound, which fills resource gaps and yields systematically
-    shorter (still validator-feasible) schedules — measured ~4 makespan
-    points better on the j30 golden subset at T=20.
+    ``backfill=False`` (default) reproduces the REFERENCE decoder: its
+    ``Resource.request`` asserts non-decreasing request timestamps
+    *per requested resource* (rcpsp_inst.py:78-79 — ``last_event_time``
+    lives on each ``Resource``; activities with a zero requirement on a
+    resource neither read nor advance its clock), so activity ``j`` starts
+    no earlier than the latest previous request on any resource it uses.
+    Between requests on resource ``r`` its usage profile at times
+    ``>= last_event[r]`` is non-increasing (only releases remain pending),
+    so the earliest capacity-feasible *point* ``>= the per-resource bound``
+    equals the reference's ``max(available_timestamp(req_r))`` and the whole
+    duration window is automatically feasible there. The reference also
+    clamps to ``latest_start`` (rcpsp/aco.py:30,55), reproduced here.
+    ``backfill=True`` is the TPU-era improvement: the earliest feasible
+    window anywhere >= the precedence bound, which fills resource gaps and
+    yields systematically shorter (still validator-feasible) schedules —
+    measured ~4 makespan points better on the j30 golden subset at T=20.
     """
     n, m = data.resources.shape
     T = data.t_max
@@ -120,14 +128,15 @@ def ssgs_schedule(data: RCPSPData, sequence: jax.Array,
     t_slots = jnp.arange(T)           # usage timeline slots
 
     def sched_one(carry, j):
-        usage, end_time, start, last_start = carry
+        usage, end_time, start, last_event = carry
         dur = data.duration[j]
         req = data.resources[j]
         est = jnp.maximum(
             jnp.max(jnp.where(data.adj[:, j] > 0, end_time, 0)),
             data.earliest_start[j])
         if not backfill:
-            est = jnp.maximum(est, last_start)
+            # per-resource monotonic bound over the resources j requests
+            est = jnp.maximum(est, jnp.max(jnp.where(req > 0, last_event, 0)))
         viol = jnp.any(usage + req[None, :] > data.capacity[None, :], axis=1)
         csum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                 jnp.cumsum(viol.astype(jnp.int32))])
@@ -135,14 +144,19 @@ def ssgs_schedule(data: RCPSPData, sequence: jax.Array,
         win_bad = (csum[end_idx] - csum[jnp.minimum(t_starts, T)]) > 0
         ok = (~win_bad) & (t_starts >= est) & (t_starts + dur <= T)
         t_star = jnp.argmax(ok).astype(jnp.int32)
+        if not backfill:
+            # reference clamp: min(max(avail, est), latest_start)
+            t_star = jnp.minimum(t_star, data.latest_finish[j] - dur)
         in_win = (t_slots >= t_star) & (t_slots < t_star + dur)
         usage = usage + in_win[:, None].astype(usage.dtype) * req[None, :]
         end_time = end_time.at[j].set(t_star + dur)
         start = start.at[j].set(t_star)
-        return (usage, end_time, start, jnp.maximum(last_start, t_star)), None
+        last_event = jnp.where(req > 0, jnp.maximum(last_event, t_star),
+                               last_event)
+        return (usage, end_time, start, last_event), None
 
     init = (jnp.zeros((T, m), jnp.int32), jnp.zeros((n,), jnp.int32),
-            jnp.zeros((n,), jnp.int32), jnp.int32(0))
+            jnp.zeros((n,), jnp.int32), jnp.zeros((m,), jnp.int32))
     (_, _, start, _), _ = jax.lax.scan(sched_one, init, sequence)
     return start
 

@@ -57,7 +57,7 @@ def init_distributed(coordinator_address: str | None = None,
         # (the auto-detect path). Anywhere else stay single-process: calling
         # initialize() on a bare CPU/GPU host would hang waiting for a
         # coordinator that does not exist.
-        pod_markers = ("TPU_WORKER_HOSTNAMES", "TPU_SKYLARK_HOST_BOUNDS",
+        pod_markers = ("TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID",
                        "MEGASCALE_COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID")
         if not any(m in os.environ for m in pod_markers):
             return

@@ -275,8 +275,11 @@ def evaluate_family(family_name: str, batch: dict, *, n_nodes: int,
         # family's ROLLOUT HORIZON, not n_nodes — CVRP's horizon is 2n, so
         # an n_nodes-based budget ran ~2x over and still crashed the worker.
         _, horizon = family.horizon_states(n_nodes)
-        b_chunk = b if (horizon < 500 or mesh is not None) else \
-            max(1, 15_000_000 // max(n_ants * t_max * horizon, 1))
+        # Chunk whenever the whole batch would exceed the budget — no
+        # size-threshold gate (tsp500's horizon is n-1=499, which a
+        # `horizon < 500` gate let through unchunked at ~100M ant-steps).
+        b_chunk = b if mesh is not None else \
+            min(b, max(1, 15_000_000 // max(n_ants * t_max * horizon, 1)))
     if b_chunk >= b:
         curves = _eval_family(family, model, k_sparse, t_max, n_nodes,
                               variables, batch, jax.random.PRNGKey(seed))

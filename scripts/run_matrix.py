@@ -123,7 +123,9 @@ def run_worker(cell_ids):
         try:
             with contextlib.redirect_stdout(buf):
                 cli.main(cargs)
-        except BaseException:
+        except (KeyboardInterrupt, SystemExit):
+            raise
+        except Exception:
             _append({"cell": cid, "error": "failed-in-group",
                      "stderr_tail": traceback.format_exc()[-400:]})
             print(f"  FAILED in-process: {traceback.format_exc(limit=2)}",
@@ -142,8 +144,12 @@ def run_worker(cell_ids):
         rec["cell"] = cid
         rec["wall_s"] = round(time.time() - t0, 1)
         _append(rec)
-        print(f"  ok in {rec['wall_s']}s: T={rec['t_aco'][-1]} -> "
-              f"{rec['means'][-1]:.4f}", flush=True)
+        t_aco, means = rec.get("t_aco"), rec.get("means")
+        if t_aco and means:
+            print(f"  ok in {rec['wall_s']}s: T={t_aco[-1]} -> "
+                  f"{means[-1]:.4f}", flush=True)
+        else:
+            print(f"  ok in {rec['wall_s']}s", flush=True)
 
 
 def run_solo(cid, cargs, tmo):

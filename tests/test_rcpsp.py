@@ -118,14 +118,9 @@ def test_summation_evaluation_matches_prefix_reduction(j30):
         route.append(actions)
 
 
-def test_ssgs_backfill_vs_reference_decoder(j30):
-    """Round-3: default decode matches the reference's append-only SSGS
-    (Resource.request asserts non-decreasing start times,
-    rcpsp_inst.py:78-79); backfill=True fills gaps and can only shorten."""
-    rng = np.random.default_rng(0)
-    adj = np.asarray(j30.adj)
-    n = j30.n
-    # random topological order via Kahn with shuffled ready set
+def _random_topo_seq(adj, rng):
+    """Kahn's algorithm with a shuffled ready set → random topological order."""
+    n = adj.shape[0]
     indeg = adj.sum(axis=0).astype(int)
     ready = [i for i in range(n) if indeg[i] == 0]
     seq = []
@@ -136,12 +131,67 @@ def test_ssgs_backfill_vs_reference_decoder(j30):
             indeg[j] -= 1
             if indeg[j] == 0:
                 ready.append(int(j))
-    seq = jnp.asarray(seq)
-    s_ref = np.asarray(ssgs_schedule(j30, seq, backfill=False))
-    s_bf = np.asarray(ssgs_schedule(j30, seq, backfill=True))
-    assert check_schedule(j30, s_ref) and check_schedule(j30, s_bf)
-    # reference semantics: start times non-decreasing in list order
-    starts_in_order = s_ref[np.asarray(seq)]
-    assert np.all(np.diff(starts_in_order) >= 0)
-    # backfill can only improve the makespan
-    assert s_bf[-1] <= s_ref[-1]
+    return np.asarray(seq)
+
+
+@pytest.fixture(scope="module")
+def reference_rcpsp(tmp_path_factory):
+    """Import the reference decoder (rcpsp/aco.py SSGS_ordered) with a
+    torch_geometric stub, plus the matching reference RCPSPInstance built
+    from the same j30 .RCP text our loader reads."""
+    import importlib.util
+    import sys
+    import tarfile
+    import types
+
+    if "torch_geometric" not in sys.modules:
+        tg = types.ModuleType("torch_geometric")
+        tg_data = types.ModuleType("torch_geometric.data")
+        tg_data.Data = object
+        tg.data = tg_data
+        sys.modules["torch_geometric"] = tg
+        sys.modules["torch_geometric.data"] = tg_data
+    np.Infinity = np.inf  # reference code predates numpy 2.0
+
+    tmp = tmp_path_factory.mktemp("refrcpsp")
+    with tarfile.open(ARCHIVE) as tf:
+        names = sorted(m.name for m in tf.getmembers()
+                       if "j30rcp" in m.name and m.name.endswith(".RCP"))
+        text = tf.extractfile(names[0]).read().decode()
+    rcp_path = tmp / "inst.RCP"
+    rcp_path.write_text(text)
+
+    sys.path.insert(0, "/root/reference/rcpsp")
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_rcpsp_aco", "/root/reference/rcpsp/aco.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        inst_mod = sys.modules["rcpsp_inst"]
+    finally:
+        sys.path.remove("/root/reference/rcpsp")
+    return mod.SSGS_ordered, inst_mod.read_RCPfile(str(rcp_path)), text
+
+
+def test_ssgs_exact_parity_vs_reference_decoder(reference_rcpsp):
+    """Default decode must reproduce the REFERENCE SSGS start times exactly —
+    per-requested-resource request monotonicity (rcpsp_inst.py:78-90) and the
+    latest_start clamp (rcpsp/aco.py:55), over 50 random topological orders.
+    backfill=True fills resource gaps and can only shorten the makespan."""
+    ssgs_ref, ref_inst, text = reference_rcpsp
+    data = parse_rcp(text)
+    adj = np.asarray(data.adj)
+    rng = np.random.default_rng(0)
+    worse = 0
+    for trial in range(50):
+        seq = _random_topo_seq(adj, rng)
+        expect = np.asarray(ssgs_ref(ref_inst, list(seq)))
+        got = np.asarray(ssgs_schedule(data, jnp.asarray(seq),
+                                       backfill=False))
+        np.testing.assert_array_equal(got, expect,
+                                      err_msg=f"trial {trial}")
+        s_bf = np.asarray(ssgs_schedule(data, jnp.asarray(seq),
+                                        backfill=True))
+        assert check_schedule(data, got) and check_schedule(data, s_bf)
+        worse += int(s_bf[-1] > got[-1])
+    assert worse == 0   # gap-filling never lengthens the makespan
