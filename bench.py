@@ -205,10 +205,9 @@ def extra_mfu_phases():
 
     from deepaco_tpu.aco.batched_tsp import run_anytime_batched
     from deepaco_tpu.aco.runner import ACOConfig
-    from deepaco_tpu.core.graph import knn_graph, scatter_to_dense
     from deepaco_tpu.models.gnn import Net
     from deepaco_tpu.models.torch_compat import load_reference_checkpoint
-    from deepaco_tpu.utils.datasets import distance_matrix, load_tsp_dataset
+    from deepaco_tpu.utils.datasets import load_tsp_dataset
 
     kind = jax.devices()[0].device_kind.lower()
     peaks = {"v6": 918e12, "v5p": 459e12, "v5": 197e12, "v4": 275e12}
@@ -220,13 +219,11 @@ def extra_mfu_phases():
     variables = jax.device_put(load_reference_checkpoint(CKPT))
     cfg = ACOConfig(n_ants=N_ANTS)
 
+    from deepaco_tpu.eval.anytime import batched_tsp_heuristic
+
     def _phase_body(cb):
-        def per(c):
-            dist = distance_matrix(c)
-            g = knn_graph(c, dist, K_SPARSE)
-            out = model.apply(variables, g, train=False)
-            return scatter_to_dense(g, out[1]) + 1e-10, dist
-        return jax.vmap(per)(cb)
+        # the production heuristic path (whole-net fused GNN on TPU)
+        return batched_tsp_heuristic(model, variables, cb, K_SPARSE)
 
     gnn_phase = jax.jit(_phase_body)
 
@@ -296,6 +293,9 @@ def reference_cpu_run(heu_mats, dist_mats):
 
 
 def main():
+    from deepaco_tpu.utils.compcache import enable as _enable_cache
+
+    _enable_cache()
     # the dev TPU is reached through a relay that occasionally drops the
     # worker; retry the device phase a couple of times before giving up
     last_err = None
@@ -312,22 +312,23 @@ def main():
     # build reference-identical heuristics for the baseline instances
     import jax
     from deepaco_tpu.aco.runner import ACOConfig  # noqa: F401
-    from deepaco_tpu.core.graph import knn_graph, scatter_to_dense
     from deepaco_tpu.models.gnn import Net
     from deepaco_tpu.models.torch_compat import load_reference_checkpoint
-    from deepaco_tpu.utils.datasets import distance_matrix, load_tsp_dataset
+    from deepaco_tpu.utils.datasets import load_tsp_dataset
     import jax.numpy as jnp
 
-    coords = load_tsp_dataset(N_NODE, "test")[:B_REF]
+    from deepaco_tpu.eval.anytime import batched_tsp_heuristic
+
+    coords = jnp.asarray(load_tsp_dataset(N_NODE, "test")[:B_REF],
+                         jnp.float32)
     model = Net(dual_heads=True)
     variables = load_reference_checkpoint(CKPT)
-    heu_mats, dist_mats = [], []
-    for c in coords:
-        dist = distance_matrix(jnp.asarray(c))
-        g = knn_graph(jnp.asarray(c), dist, K_SPARSE)
-        _, heu = model.apply(variables, g, train=False)
-        heu_mats.append(np.asarray(scatter_to_dense(g, heu)) + 1e-10)
-        dist_mats.append(np.asarray(dist))
+    # production heuristic path: both engines consume IDENTICAL matrices
+    heu_b, dist_b = jax.jit(
+        lambda cb: batched_tsp_heuristic(model, variables, cb,
+                                         K_SPARSE))(coords)
+    heu_mats = list(np.asarray(heu_b))
+    dist_mats = list(np.asarray(dist_b))
     ref = reference_cpu_run(heu_mats, dist_mats)
 
     out = {

@@ -622,6 +622,9 @@ def cmd_solve_cvrp(args) -> None:
 
 
 def main(argv=None) -> None:
+    from deepaco_tpu.utils.compcache import enable as _enable_cache
+
+    _enable_cache()
     args = build_parser().parse_args(argv)
     if args.command == "train":
         cmd_train(args)

@@ -32,20 +32,42 @@ def tsp_instance_curve(heu, dist, cfg: ACOConfig, rng, t_max: int):
     return curve
 
 
+def batched_tsp_heuristic(model, variables, coords_batch, k_sparse: int):
+    """Batched graph build + GNN heuristic for the TSP protocol.
+
+    Returns ``(heu [B, N, N], dist [B, N, N])``. On TPU the GNN forward
+    rides the whole-net fused kernel (:mod:`deepaco_tpu.ops.fused_gnn`,
+    bfloat16 gathers, ~5x the per-layer path at the TSP500 bench shape);
+    ``DEEPACO_FAST_GNN=0|f32`` overrides."""
+    from deepaco_tpu.ops.fused_gnn import fast_inference_mode, net_apply_fast
+
+    def build(coords):
+        dist = distance_matrix(coords)
+        return knn_graph(coords, dist, k_sparse), dist
+
+    g, dist = jax.vmap(build)(coords_batch)
+    cdt = fast_inference_mode(model, coords_batch.shape[1], k_sparse)
+    if cdt is not None:
+        heu_vec = net_apply_fast(model, variables, g.x, g.nbr, g.edge, cdt)
+        heu = jax.vmap(scatter_to_dense)(g, heu_vec) + 1e-10
+    else:
+        def per_instance(gi):
+            out = model.apply(variables, gi, train=False)
+            heu_vec = out[1] if isinstance(out, tuple) else out
+            return scatter_to_dense(gi, heu_vec) + 1e-10
+
+        heu = jax.vmap(per_instance)(g)
+    return heu, dist
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _eval_neural(model, cfg: ACOConfig, k_sparse: int, t_max: int,
                  variables, coords_batch, rng):
     """Neural anytime sweep on the batched dense runner (whole dataset =
     one scan; hoisted log-heuristic; bfloat16 sampling — see
     :mod:`deepaco_tpu.aco.batched_tsp`)."""
-    def per_instance(coords):
-        dist = distance_matrix(coords)
-        g = knn_graph(coords, dist, k_sparse)
-        out = model.apply(variables, g, train=False)
-        heu_vec = out[1] if isinstance(out, tuple) else out
-        return scatter_to_dense(g, heu_vec) + 1e-10, dist
-
-    heu, dist = jax.vmap(per_instance)(coords_batch)
+    heu, dist = batched_tsp_heuristic(model, variables, coords_batch,
+                                      k_sparse)
     return run_anytime_batched(heu, dist, cfg, rng, t_max)
 
 
@@ -71,18 +93,31 @@ def _eval_ls(model, cfg: ACOConfig, k_sparse: int, t_max: int,
         # n (the grid serializes descents on the core), below the watchdog
         b_chunk = int(max(1, min(b, 512 // max(cfg.n_ants, 1))))
 
+    from deepaco_tpu.ops.fused_gnn import fast_inference_mode, net_apply_fast
+
     @jax.jit
     def heu_fn(coords):
-        def per_instance(c):
+        def build(c):
             dist = distance_matrix(c)
             if model is None:
                 return 1.0 / sparse_distance_matrix(dist, k_sparse), dist
-            g = tsp_nls_graph(c, dist, k_sparse, start_node=0)
-            out = model.apply(variables, g, train=False)
-            heu_vec = out[1] if isinstance(out, tuple) else out
-            return scatter_to_dense(g, heu_vec) + 1e-10, dist
+            return tsp_nls_graph(c, dist, k_sparse, start_node=0), dist
 
-        return jax.vmap(per_instance)(coords)
+        g, dist = jax.vmap(build)(coords)
+        if model is None:
+            return g, dist
+        cdt = fast_inference_mode(model, n, k_sparse)
+        if cdt is not None:
+            heu_vec = net_apply_fast(model, variables, g.x, g.nbr, g.edge,
+                                     cdt)
+            return jax.vmap(scatter_to_dense)(g, heu_vec) + 1e-10, dist
+
+        def per_instance(gi):
+            out = model.apply(variables, gi, train=False)
+            heu_vec = out[1] if isinstance(out, tuple) else out
+            return scatter_to_dense(gi, heu_vec) + 1e-10
+
+        return jax.vmap(per_instance)(g), dist
 
     @jax.jit
     def step_fn(state, heu, dist, coords, key):
