@@ -39,14 +39,29 @@ def batched_tsp_heuristic(model, variables, coords_batch, k_sparse: int):
     rides the whole-net fused kernel (:mod:`deepaco_tpu.ops.fused_gnn`,
     bfloat16 gathers, ~5x the per-layer path at the TSP500 bench shape);
     ``DEEPACO_FAST_GNN=0|f32`` overrides."""
-    from deepaco_tpu.ops.fused_gnn import fast_inference_mode, net_apply_fast
+    from deepaco_tpu.ops.fused_gnn import (dense_heuristic_supported,
+                                           fast_inference_mode,
+                                           net_apply_fast,
+                                           tsp_dense_heuristic)
+
+    n = coords_batch.shape[1]
+    cdt = fast_inference_mode(model, n, k_sparse)
+    if cdt is not None and dense_heuristic_supported(n, k_sparse,
+                                                    model.units):
+        # fully fused: k-NN selection, 12 layers, head and dense scatter in
+        # one kernel — the only XLA work is the distance matrix itself
+        dist = jax.vmap(distance_matrix)(coords_batch)
+        heu = tsp_dense_heuristic(
+            variables, coords_batch, dist, k_sparse, depth=model.depth,
+            units=model.units, node_update=model.node_update,
+            compute_dtype=cdt)
+        return heu, dist
 
     def build(coords):
         dist = distance_matrix(coords)
         return knn_graph(coords, dist, k_sparse), dist
 
     g, dist = jax.vmap(build)(coords_batch)
-    cdt = fast_inference_mode(model, coords_batch.shape[1], k_sparse)
     if cdt is not None:
         heu_vec = net_apply_fast(model, variables, g.x, g.nbr, g.edge, cdt)
         heu = jax.vmap(scatter_to_dense)(g, heu_vec) + 1e-10
@@ -93,10 +108,33 @@ def _eval_ls(model, cfg: ACOConfig, k_sparse: int, t_max: int,
         # n (the grid serializes descents on the core), below the watchdog
         b_chunk = int(max(1, min(b, 512 // max(cfg.n_ants, 1))))
 
-    from deepaco_tpu.ops.fused_gnn import fast_inference_mode, net_apply_fast
+    from deepaco_tpu.ops.fused_gnn import (dense_heuristic_supported,
+                                           fast_inference_mode,
+                                           net_apply_fast,
+                                           tsp_dense_heuristic)
 
     @jax.jit
     def heu_fn(coords):
+        bsz = coords.shape[0]
+        cdt = None if model is None else fast_inference_mode(model, n,
+                                                             k_sparse)
+        # NLS cells are LS-dominated (GNN runs once per sweep), so take the
+        # exact-parity f32 kernel: the tsp_nls checkpoints are measurably
+        # bf16-sensitive (max sigmoid drift 0.62 vs 0.06 for vanilla tsp)
+        if cdt is not None:
+            cdt = jnp.float32
+        if cdt is not None and dense_heuristic_supported(n, k_sparse,
+                                                         model.units):
+            dist = jax.vmap(distance_matrix)(coords)
+            # tsp_nls node feature: one-hot start node 0
+            # (tsp_nls/utils.py:37-45)
+            x = jnp.zeros((bsz, n, 1), jnp.float32).at[:, 0, 0].set(1.0)
+            heu = tsp_dense_heuristic(
+                variables, x, dist, k_sparse, depth=model.depth,
+                units=model.units, node_update=model.node_update,
+                compute_dtype=cdt)
+            return heu, dist
+
         def build(c):
             dist = distance_matrix(c)
             if model is None:
@@ -106,7 +144,6 @@ def _eval_ls(model, cfg: ACOConfig, k_sparse: int, t_max: int,
         g, dist = jax.vmap(build)(coords)
         if model is None:
             return g, dist
-        cdt = fast_inference_mode(model, n, k_sparse)
         if cdt is not None:
             heu_vec = net_apply_fast(model, variables, g.x, g.nbr, g.edge,
                                      cdt)

@@ -125,10 +125,8 @@ def _layers_kernel(depth, k_const, g_const, e_const, node_update, cdt, prec,
     u = x_scr.shape[0]
     gu = g_const * u
     kg_full, rem = k_const // g_const, k_const % g_const
-    act = jax.nn.silu
     f32 = jnp.float32
-    # iota over the TABLE axis (contraction dim of the one-hot gather):
-    # oh_t[c, r] = (c == nbr[j, r]) selects node nbr[j, r] into column r.
+    act = jax.nn.silu
     iota0 = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
     # expand_t[l, s] = 1 iff sublane l belongs to sub-slot s: broadcasts a
     # [G, NP] row group onto [G*U, NP] via one tiny MXU contraction.
@@ -150,6 +148,29 @@ def _layers_kernel(depth, k_const, g_const, e_const, node_update, cdt, prec,
 
     jax.lax.fori_loop(0, kg_full + (1 if rem else 0), winit, 0)
     x_scr[:] = x_ref[0]
+    _layer_stack(depth, k_const, g_const, node_update, cdt, prec,
+                 lambda jg: nbr_ref[0, jg], lambda jg: wout_ref[0, jg],
+                 lambda jg, v: wout_ref.__setitem__((0, jg), v),
+                 x_scr, wv_ref, bv_ref, wel_ref, bel_ref,
+                 vs_ref, vb_ref, es_ref, eb_ref, iota0)
+
+
+def _layer_stack(depth, k_const, g_const, node_update, cdt, prec,
+                 read_nbr, read_w, write_w, x_scr,
+                 wv_ref, bv_ref, wel_ref, bel_ref,
+                 vs_ref, vb_ref, es_ref, eb_ref, iota0):
+    """The 12-layer EmbNet loop over slot-grouped state accessors.
+
+    ``read_nbr(jg) -> [G, NP]`` int32, ``read_w(jg) -> [G*U, NP]`` f32,
+    ``write_w(jg, val)``; state lives in the caller's ref/scratch. One-hot
+    gather: oh_t[c, r] = (c == nbr[j, r]) selects node nbr[j, r] into
+    column r (= the edge's source row in the straight orientation).
+    """
+    u = x_scr.shape[0]
+    np_ = x_scr.shape[1]
+    kg_full, rem = k_const // g_const, k_const % g_const
+    act = jax.nn.silu
+    f32 = jnp.float32
 
     for i in range(depth):
         xc = x_scr[:]                                          # [U, NP]
@@ -166,8 +187,8 @@ def _layers_kernel(depth, k_const, g_const, e_const, node_update, cdt, prec,
         eb_i = eb_ref[:, i:i + 1]
 
         def group(jg, agg, n_sub):
-            nbr_g = nbr_ref[0, jg]                             # [G, NP]
-            w0 = wout_ref[0, jg]                               # [G*U, NP]
+            nbr_g = read_nbr(jg)                               # [G, NP]
+            w0 = read_w(jg)                                    # [G*U, NP]
             parts = []
             for s in range(g_const):
                 if s >= n_sub:
@@ -185,7 +206,7 @@ def _layers_kernel(depth, k_const, g_const, e_const, node_update, cdt, prec,
                                   preferred_element_type=f32,
                                   precision=prec) + base + both[u:]
                 parts.append(w0s + act(pre * es_i + eb_i))
-            wout_ref[0, jg] = jnp.concatenate(parts, axis=0)
+            write_w(jg, jnp.concatenate(parts, axis=0))
             return agg
 
         agg = jax.lax.fori_loop(
@@ -218,18 +239,9 @@ def embnet_layers_pallas(folded: FoldedEmbNet, x_emb, nbr_p, edge_p, *,
             else jax.lax.Precision.DEFAULT)
     kernel = functools.partial(_layers_kernel, depth, int(k), int(g), int(e),
                                node_update, compute_dtype, prec)
-    bcast = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                                        memory_space=pltpu.VMEM)
-    # transposed weight stacks (feature-major kernel orientation)
-    weinT = jnp.tile(folded.we_in, (1, g)).reshape(e, g * u).T  # [G*U, E]
-    beinT = jnp.tile(folded.be_in.reshape(1, u),
-                     (1, g)).reshape(g * u, 1)                  # [G*U, 1]
-    wvT = jnp.concatenate(
-        [folded.wv[i * u:(i + 1) * u, :].T for i in range(depth_)],
-        axis=0)                                                 # [L*4U, U]
-    welT = jnp.concatenate(
-        [folded.wel[i * u:(i + 1) * u, :].T for i in range(depth_)],
-        axis=0)                                                 # [L*U, U]
+    bcast = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    ws = _transposed_weights(folded, depth_, g, u)
     x_t = jnp.swapaxes(x_emb, 1, 2)                             # [B, U, NP]
     return pl.pallas_call(
         kernel,
@@ -241,20 +253,203 @@ def embnet_layers_pallas(folded: FoldedEmbNet, x_emb, nbr_p, edge_p, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, e, kg, g, np_), lambda i: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            bcast(*weinT.shape), bcast(*beinT.shape),
-            bcast(*wvT.shape), bcast(4 * u, depth_),
-            bcast(*welT.shape), bcast(u, depth_),
-            bcast(u, depth_), bcast(u, depth_),
-            bcast(u, depth_), bcast(u, depth_),
+            *[bcast(a) for a in ws],
         ],
         out_specs=pl.BlockSpec((1, kg, g * u, np_), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, kg, g * u, np_), jnp.float32),
         scratch_shapes=[pltpu.VMEM((u, np_), jnp.float32)],
         interpret=jax.default_backend() == "cpu",
-    )(x_t, nbr_p, edge_p, weinT, beinT,
-      wvT, folded.bv.T, welT, folded.bel.T,
-      folded.vs.T, folded.vb.T, folded.es.T, folded.eb.T)
+    )(x_t, nbr_p, edge_p, *ws)
+
+
+def _transposed_weights(folded: FoldedEmbNet, depth: int, g: int, u: int):
+    """Stacked weights in the kernel's feature-major orientation."""
+    e = folded.we_in.shape[0]
+    weinT = jnp.tile(folded.we_in, (1, g)).reshape(e, g * u).T  # [G*U, E]
+    beinT = jnp.tile(folded.be_in.reshape(1, u),
+                     (1, g)).reshape(g * u, 1)                  # [G*U, 1]
+    wvT = jnp.concatenate(
+        [folded.wv[i * u:(i + 1) * u, :].T for i in range(depth)],
+        axis=0)                                                 # [L*4U, U]
+    welT = jnp.concatenate(
+        [folded.wel[i * u:(i + 1) * u, :].T for i in range(depth)],
+        axis=0)                                                 # [L*U, U]
+    return (weinT, beinT, wvT, folded.bv.T, welT, folded.bel.T,
+            folded.vs.T, folded.vb.T, folded.es.T, folded.eb.T)
+
+
+_KNN_BIG = 1e30
+
+
+def _dense_kernel(depth, k_const, g_const, node_update, cdt, prec, fill,
+                  x_ref, dist_ref,
+                  wein_ref, bein_ref, wv_ref, bv_ref, wel_ref, bel_ref,
+                  vs_ref, vb_ref, es_ref, eb_ref,
+                  h0_ref, hb0_ref, h1_ref, hb1_ref, h2_ref, hb2_ref,
+                  out_ref, x_scr, w_scr, nbr_scr, d_scr):
+    """dist → dense heuristic, fully fused for one instance.
+
+    Phases: (1) exact k-NN selection by iterative column-min extraction on
+    the VMEM-resident distance matrix (ties -> lowest index, matching
+    ``lax.top_k`` on ``-dist``), initializing the edge embeddings from the
+    extracted distances (e_lin0); (2) the 12-layer stack (``_layer_stack``);
+    (3) the ParNet head per slot + scatter into the dense ``[NP, NP]``
+    output (``scatter_to_dense`` + ``fill`` semantics, transposed: the
+    caller swaps axes back). Replaces XLA ``top_k`` (~30 ms at the bench
+    shape) and the dense scatter (~20 ms) with in-kernel VPU passes.
+    """
+    np_ = x_scr.shape[1]
+    u = x_scr.shape[0]
+    kg_full, rem = k_const // g_const, k_const % g_const
+    act = jax.nn.silu
+    f32 = jnp.float32
+    iota0 = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
+    iota1 = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    ident = (iota0 == iota1).astype(f32)
+
+    # ---- phase 1: k-NN extraction + e_lin0 init (slot-grouped).
+    # Reductions run over the LANE axis (cross-sublane reductions are slow);
+    # the extracted per-row column is transposed to a row with one exact
+    # identity-matmul MXU pass (0/1 products in f32 HIGHEST are exact).
+    d_scr[:] = dist_ref[0]
+
+    def extract():
+        d = d_scr[:]
+        m_col = jnp.min(d, axis=1, keepdims=True)              # [NP, 1]
+        idx_col = jnp.min(jnp.where(d == m_col, iota1, np_), axis=1,
+                          keepdims=True)                       # [NP, 1]
+        d_scr[:] = jnp.where(iota1 == idx_col, _KNN_BIG, d)
+        both = jnp.concatenate([m_col, idx_col.astype(f32)], axis=1)
+        rows = jax.lax.dot_general(
+            both, ident, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)               # [2, NP]
+        return rows[0:1, :], rows[1:2, :].astype(jnp.int32)
+
+    def init_group(jg, n_sub):
+        idxs, parts = [], []
+        for s in range(g_const):
+            if s >= n_sub:
+                idxs.append(jnp.zeros((1, np_), jnp.int32))
+                parts.append(jnp.zeros((u, np_), f32))
+                continue
+            m, idx = extract()
+            idxs.append(idx)
+            parts.append(act(m * wein_ref[s * u:(s + 1) * u, 0:1]
+                             + bein_ref[s * u:(s + 1) * u, :]))
+        nbr_scr[jg] = jnp.concatenate(idxs, axis=0)
+        w_scr[jg] = jnp.concatenate(parts, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, kg_full, lambda jg, c: init_group(jg, g_const), 0)
+    if rem:
+        init_group(kg_full, rem)
+
+    # ---- phase 2: the layer stack over scratch state
+    x_scr[:] = x_ref[0]
+    _layer_stack(depth, k_const, g_const, node_update, cdt, prec,
+                 lambda jg: nbr_scr[jg], lambda jg: w_scr[jg],
+                 lambda jg, v: w_scr.__setitem__(jg, v),
+                 x_scr, wv_ref, bv_ref, wel_ref, bel_ref,
+                 vs_ref, vb_ref, es_ref, eb_ref, iota0)
+
+    # ---- phase 3: ParNet head per slot + dense scatter
+    out_ref[0] = jnp.full((np_, np_), fill, f32)
+
+    def head_group(jg, n_sub):
+        w0 = w_scr[jg]
+        nbr_g = nbr_scr[jg]
+        for s in range(n_sub):
+            w0s = w0[s * u:(s + 1) * u]
+            h = act(jax.lax.dot(h0_ref[:].astype(cdt), w0s.astype(cdt),
+                                preferred_element_type=f32,
+                                precision=prec) + hb0_ref[:])
+            h = act(jax.lax.dot(h1_ref[:].astype(cdt), h.astype(cdt),
+                                preferred_element_type=f32,
+                                precision=prec) + hb1_ref[:])
+            o = jax.nn.sigmoid(
+                jax.lax.dot(h2_ref[:].astype(cdt), h.astype(cdt),
+                            preferred_element_type=f32,
+                            precision=prec) + hb2_ref[:])       # [1, NP]
+            idx = nbr_g[s:s + 1, :]
+            out_ref[0] = jnp.where(iota0 == idx, o + fill, out_ref[0])
+        return 0
+
+    jax.lax.fori_loop(0, kg_full, lambda jg, c: head_group(jg, g_const), 0)
+    if rem:
+        head_group(kg_full, rem)
+
+
+def dense_heuristic_supported(n: int, k: int, u: int = 32) -> bool:
+    """VMEM gate for the fully fused dist→heuristic kernel."""
+    if 128 % u:
+        return False
+    np_ = _pad8(n)
+    kg = -(-k // (128 // u))
+    state = kg * np_ * 128 * 4                 # w scratch (not buffered)
+    dense = 3 * np_ * np_ * 4                  # dist in + d scratch + out
+    dense += 2 * np_ * np_ * 4                 # double buffers (in + out)
+    temps = 2 * np_ * max(np_, 128) * 4
+    return state + dense + temps + kg * np_ * 8 * 4 < 11_500_000
+
+
+def tsp_dense_heuristic(variables, x, dist, k: int, *, depth: int = 12,
+                        units: int = 32, node_update: bool = True,
+                        head: str = "heu", compute_dtype=jnp.bfloat16,
+                        fill: float = 1e-10):
+    """Batched dist→dense-heuristic on the fully fused kernel.
+
+    ``x`` [B, N, F] node features, ``dist`` [B, N, N] (diagonal sentinel
+    included, reference tsp/utils.py:13) → ``heu`` [B, N, N] — identical
+    semantics to knn_graph + Net.apply + scatter_to_dense + fill.
+    """
+    b, n, _ = dist.shape
+    np_ = _pad8(n)
+    u = units
+    g = 128 // u
+    kg = -(-k // g)
+    folded = fold_embnet_params(variables, depth, u)
+    x_emb = jax.nn.silu(x.astype(jnp.float32) @ folded.w_in + folded.b_in)
+    x_t = jnp.swapaxes(jnp.pad(x_emb, ((0, 0), (0, np_ - n), (0, 0))), 1, 2)
+    dist_p = jnp.pad(dist.astype(jnp.float32),
+                     ((0, 0), (0, np_ - n), (0, np_ - n)),
+                     constant_values=_KNN_BIG)
+    hp = variables["params"][f"par_net_{head}"]
+    h0T = hp["lin_0"]["kernel"].T
+    hb0 = hp["lin_0"]["bias"].reshape(u, 1)
+    h1T = hp["lin_1"]["kernel"].T
+    hb1 = hp["lin_1"]["bias"].reshape(u, 1)
+    h2T = hp["lin_2"]["kernel"].T                               # [1, U]
+    hb2 = hp["lin_2"]["bias"].reshape(1, 1)
+    ws = _transposed_weights(folded, depth, g, u)
+    prec = (jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    kernel = functools.partial(_dense_kernel, depth, int(k), int(g),
+                               node_update, compute_dtype, prec, float(fill))
+    bcast = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    heads_w = (h0T, hb0, h1T, hb1, h2T, hb2)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, u, np_), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, np_), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *[bcast(a) for a in ws], *[bcast(a) for a in heads_w],
+        ],
+        out_specs=pl.BlockSpec((1, np_, np_), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, np_, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((u, np_), jnp.float32),
+                        pltpu.VMEM((kg, g * u, np_), jnp.float32),
+                        pltpu.VMEM((kg, g, np_), jnp.int32),
+                        pltpu.VMEM((np_, np_), jnp.float32)],
+        interpret=jax.default_backend() == "cpu",
+    )(x_t, dist_p, *ws, *heads_w)
+    return jnp.swapaxes(out, 1, 2)[:, :n, :n]
 
 
 def parnet_apply(params, w, act=jax.nn.silu, depth: int = 3):

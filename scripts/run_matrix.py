@@ -61,7 +61,7 @@ def cells():
         ("sop", (20, 50, 100), T7),
         ("mkp", (300, 500), T7),
         ("mkp_items", (300, 500), T5),
-        ("bpp", (120,), T4),
+        ("bpp", (120,), T7),   # full T=100 protocol (round-4: was T<=20)
     ]:
         for n in scales:
             base = ["test", prob, "-n", str(n), "-t", *ts]
@@ -204,9 +204,29 @@ def main():
                          "in-process")
     ap.add_argument("--no-group", action="store_true",
                     help="run every cell in its own process (round-2 mode)")
+    ap.add_argument("--redo", default=None,
+                    help="drop recorded cells matching this prefix from "
+                         "matrix.jsonl first, then re-run them (history "
+                         "stays in git)")
     args = ap.parse_args()
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    if args.redo:
+        kept, dropped = [], 0
+        with open(OUT) as f:
+            for line in f:
+                try:
+                    cid = json.loads(line).get("cell", "")
+                except json.JSONDecodeError:
+                    cid = ""
+                if cid.startswith(args.redo):
+                    dropped += 1
+                else:
+                    kept.append(line)
+        with open(OUT, "w") as f:
+            f.writelines(kept)
+        print(f"--redo {args.redo}: dropped {dropped} recorded cells",
+              flush=True)
     if args.worker:
         run_worker(args.worker.split(","))
         return

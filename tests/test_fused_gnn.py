@@ -98,3 +98,87 @@ def test_node_update_disabled_variant():
 def test_supported_gate():
     assert whole_net_supported(500, 50)
     assert not whole_net_supported(2000, 200)
+
+
+def test_dense_heuristic_matches_pipeline_fp32():
+    """dist -> dense heu kernel vs knn_graph + Net.apply + scatter + fill."""
+    from deepaco_tpu.core.graph import scatter_to_dense
+    from deepaco_tpu.ops.fused_gnn import (dense_heuristic_supported,
+                                           tsp_dense_heuristic)
+
+    variables = load_reference_checkpoint(
+        "/root/reference/pretrained/tsp/tsp100.pt")
+    n, b, k = 100, 3, 10
+    rng = np.random.default_rng(3)
+    coords = jnp.asarray(rng.random((b, n, 2)), jnp.float32)
+    model = Net(dual_heads=True, use_pallas=False)
+
+    def per(c):
+        dist = distance_matrix(c)
+        g = knn_graph(c, dist, k)
+        _, heu = model.apply(variables, g, train=False)
+        return scatter_to_dense(g, heu) + 1e-10, dist
+
+    ref, dist = jax.vmap(per)(coords)
+    assert dense_heuristic_supported(n, k)
+    out = tsp_dense_heuristic(variables, coords, dist, k,
+                              compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-6)
+
+
+def test_dense_heuristic_nls_fp32():
+    """tsp_nls variant (one-hot start feature, single head): the NLS eval
+    path uses the f32 kernel — the tsp_nls checkpoints are bf16-sensitive
+    (max sigmoid drift 0.62 measured), while the vanilla nets are not."""
+    from deepaco_tpu.ops.fused_gnn import tsp_dense_heuristic
+    from deepaco_tpu.core.graph import scatter_to_dense
+
+    variables = load_reference_checkpoint(
+        "/root/reference/pretrained/tsp_nls/tsp100.pt")
+    n, b, k = 100, 2, 10
+    rng = np.random.default_rng(4)
+    coords = jnp.asarray(rng.random((b, n, 2)), jnp.float32)
+    x = jnp.zeros((b, n, 1), jnp.float32).at[:, 0, 0].set(1.0)
+    model = Net(dual_heads=False, use_pallas=False)
+
+    from deepaco_tpu.core.builders import tsp_nls_graph
+
+    def per(c):
+        dist = distance_matrix(c)
+        g = tsp_nls_graph(c, dist, k, start_node=0)
+        heu = model.apply(variables, g, train=False)
+        return scatter_to_dense(g, heu) + 1e-10, dist
+
+    ref, dist = jax.vmap(per)(coords)
+    out = tsp_dense_heuristic(variables, x, dist, k,
+                              compute_dtype=jnp.float32)
+    # folded-BN affine reassociation reaches ~1e-4 through this net
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=2e-4)
+
+
+def test_dense_heuristic_bf16_close():
+    from deepaco_tpu.ops.fused_gnn import tsp_dense_heuristic
+    from deepaco_tpu.core.graph import scatter_to_dense
+
+    variables = load_reference_checkpoint(
+        "/root/reference/pretrained/tsp/tsp100.pt")
+    n, b, k = 100, 2, 10
+    rng = np.random.default_rng(4)
+    coords = jnp.asarray(rng.random((b, n, 2)), jnp.float32)
+    model = Net(dual_heads=True, use_pallas=False)
+
+    def per(c):
+        dist = distance_matrix(c)
+        g = knn_graph(c, dist, k)
+        _, heu = model.apply(variables, g, train=False)
+        return scatter_to_dense(g, heu) + 1e-10, dist
+
+    ref, dist = jax.vmap(per)(coords)
+    out = tsp_dense_heuristic(variables, coords, dist, k,
+                              compute_dtype=jnp.bfloat16)
+    ref_np, out_np = np.asarray(ref), np.asarray(out)
+    np.testing.assert_allclose(out_np, ref_np, atol=0.08)
+    corr = np.corrcoef(out_np.ravel(), ref_np.ravel())[0, 1]
+    assert corr > 0.998
