@@ -67,8 +67,12 @@ def deposit(tau: jax.Array, paths: jax.Array, amounts: jax.Array, *,
     single-ant deposits (elitist) keep the scatter.
     """
     if use_pallas is None:
+        # the kernel keeps the full [N, N] deposit matrix + the [A, L] edge
+        # lists in VMEM — n=2001 (cvrp_nls2000) measured 18.07 MB, OOM
+        n = tau.shape[-1]
+        fits_vmem = (n * n + 2 * paths.size) * 4 < 14_000_000
         use_pallas = (jax.default_backend() == "tpu" and tau.ndim == 2
-                      and paths.shape[1] > 1)
+                      and paths.shape[1] > 1 and fits_vmem)
     if use_pallas:
         from deepaco_tpu.ops.pallas_kernels import tour_deposit_pallas
 

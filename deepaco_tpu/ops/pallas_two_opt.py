@@ -49,9 +49,11 @@ MAX_NPAD = 1024
 # The TILED euclid 2-opt kernel (see _tiled_two_opt_kernel) never
 # materializes an [npad, npad] array — its live set is the [16, npad] state
 # + one [TILE, npad] delta tile — so plain 2-opt extends to 4096 nodes.
-# NLS (metric descents) stays whole-matrix: the perturbation metric has no
-# coordinate form, and a tiled permuted-metric update is O(npad^3) per move.
 MAX_NPAD_TILED = 4096
+# The tiled NLS kernel (round-4, _tiled_nls_kernel) keeps the metric
+# resident in bf16 and recomputes the permuted delta in doubly-tiled
+# [TILE, TILE] blocks per move — [2048 x 2048] bf16 = 8 MB, within VMEM.
+MAX_NPAD_NLS_TILED = 2048
 _TILE = 256
 
 
@@ -218,18 +220,8 @@ def _nls_kernel(n, npad, max_it, t_nls, t_p,
     out_ref[0] = best.astype(jnp.int32)
 
 
-def _tiled_two_opt_kernel(n, npad, tile, max_it, coords_ref, tours_ref,
-                          out_ref):
-    """Whole 2-opt descent with O(npad) live state — TSP2000+ in VMEM.
-
-    The search state is ``S [16, npad]``: rows 0/1 = tour-permuted x/y
-    coordinates, row 2 = the tour itself (as exact f32 integers). Each
-    iteration scans the delta matrix in ``[tile, npad]`` row tiles computed
-    from coordinate views (running first-occurrence argmin, identical
-    semantics to the whole-matrix kernel), and applies the 2-opt segment
-    reversal as a column-tiled one-hot permutation matmul over S —
-    O(16 * npad^2) MXU work per move, no [npad, npad] array ever lives.
-    """
+def _tiled_fns(n, npad, tile):
+    """Shape-closed helpers for the O(npad)-state tiled kernels."""
     nt = npad // tile
     f32 = jnp.float32
     j_row = lax.broadcasted_iota(jnp.int32, (1, npad), 1)
@@ -315,27 +307,172 @@ def _tiled_two_opt_kernel(n, npad, tile, max_it, coords_ref, tours_ref,
                      jnp.where(better, tc, c))
         return carry
 
-    # ---- assemble state: permute the coordinate table by the input tour ----
-    CT8 = coords_ref[...]                                      # [8, npad]
-    tour0 = tours_ref[0].astype(f32)                           # [1, npad]
-    S0 = jnp.concatenate([CT8[0:2, :], jnp.zeros((14, npad), f32)], axis=0)
-    S0 = permute_columns(S0, tour0)           # rows 0/1 = coords[tour_j]
-    S0 = jnp.concatenate([S0[0:2, :], tour0, S0[3:, :]], axis=0)
+    def best_move_metric(S, Mb):
+        """Best 2-opt move under an arbitrary (bf16) metric, doubly tiled.
 
-    def cond(carry):
-        _, it, last = carry
-        return (last < -1e-6) & (it < max_it)
+        ``delta[i, j] = M[t_{i-1}, t_j] + M[t_i, t_{j+1}]
+                        - M[t_{i-1}, t_i] - M[t_j, t_{j+1}]``.
+        Per row tile, the needed metric ROWS are extracted by one-hot MXU
+        contraction against the resident ``Mb`` (exact bf16 selection); the
+        column permutation by the tour is applied per ``[tile, tile]``
+        block. Ties break lexicographically on (value, i, j), matching the
+        whole-matrix kernel's flat first-occurrence argmin.
+        """
+        t = S[2:3, :]                                          # [1, npad] f32
+        t_up = jnp.roll(t, 1, axis=1)
+        u = jnp.roll(t, -1, axis=1)
+        u = jnp.where(j_row == n - 1, t[:, 0:1], u)            # j+1 wraps
+        city_lane = lax.broadcasted_iota(jnp.int32, (tile, npad), 1)
+        city_col = lax.broadcasted_iota(jnp.int32, (npad, tile), 0)
 
-    def body(carry):
-        S, it, _ = carry
-        g, r, c = best_move(S)
-        improved = g < -1e-6
-        S = jnp.where(improved, flip(S, r, c), S)
-        return S, it + 1, jnp.where(improved, g, 0.0)
+        def seg_col(row, i0):
+            """[1, npad] row -> [tile, 1] transposed segment at i0."""
+            return tile_cols(row, i0, 1)
 
-    S, _, _ = lax.while_loop(
-        cond, body, (S0, jnp.int32(0), jnp.float32(-1.0)))
+        def extract_rows(vals_col):
+            """[tile, 1] city ids -> their metric rows [tile, npad] bf16
+            (+ the one-hot used, for diagonal picks)."""
+            oh = (city_lane == vals_col.astype(jnp.int32))
+            rows = lax.dot_general(
+                oh.astype(jnp.bfloat16), Mb, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            return rows.astype(jnp.bfloat16), oh
+
+        # pass 1: the closing-edge row c_j[j] = M[t_j, t_{j+1}]
+        cj_parts = []
+        for ti in range(nt):
+            i0 = ti * tile
+            b_rows, _ = extract_rows(seg_col(t, i0))           # M[t_j, :]
+            oh_u = (city_lane == seg_col(u, i0).astype(jnp.int32))
+            cj_seg = jnp.sum(jnp.where(oh_u, b_rows.astype(f32), 0.0),
+                             axis=1, keepdims=True)            # [tile, 1]
+            cj_parts.append(lax.dot_general(
+                cj_seg, ident_t, (((0,), (0,)), ((), ())),
+                precision=HIGHEST))                            # [1, tile]
+        c_j = jnp.concatenate(cj_parts, axis=1) if nt > 1 else cj_parts[0]
+
+        carry = (jnp.asarray(jnp.inf, f32), jnp.int32(npad), jnp.int32(npad))
+        for ti in range(nt):
+            i0 = ti * tile
+            b_col = seg_col(t, i0)
+            oh_b = city_lane == b_col.astype(jnp.int32)
+            a_rows, _ = extract_rows(seg_col(t_up, i0))        # M[t_{i-1}, :]
+            b_rows, _ = extract_rows(b_col)                    # M[t_i, :]
+            c_i = jnp.sum(jnp.where(oh_b, a_rows.astype(f32), 0.0),
+                          axis=1, keepdims=True)               # [tile, 1]
+            gi = i0 + i_col_t
+            for tj in range(nt):
+                g, r, c = carry          # CURRENT best, not the tile-entry one
+                j0 = tj * tile
+                t_seg = t[:, j0:j0 + tile]                     # [1, tile]
+                u_seg = u[:, j0:j0 + tile]
+                w_t = (city_col == t_seg.astype(jnp.int32)).astype(
+                    jnp.bfloat16)                              # [npad, tile]
+                w_u = (city_col == u_seg.astype(jnp.int32)).astype(
+                    jnp.bfloat16)
+                d_up = lax.dot_general(a_rows, w_t, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=f32)
+                d_right = lax.dot_general(b_rows, w_u,
+                                          (((1,), (0,)), ((), ())),
+                                          preferred_element_type=f32)
+                delta = d_up + d_right - c_i - c_j[:, j0:j0 + tile]
+                gj = j0 + j_row_t
+                valid = (gi >= 1) & (gj > gi) & (gj <= n - 1)
+                delta = jnp.where(valid, delta, jnp.inf)
+                rowmin = jnp.min(delta, axis=1, keepdims=True)
+                tg = jnp.min(rowmin)
+                tr = jnp.min(jnp.where(rowmin == tg, gi, npad))
+                rowvals = jnp.sum(jnp.where(gi == tr, delta, 0.0), axis=0,
+                                  keepdims=True)
+                tc = jnp.min(jnp.where(rowvals == tg, gj, npad))
+                # lexicographic (value, i, j) — matches a flat argmin
+                better = (tg < g) | ((tg == g) & ((tr < r) | ((tr == r)
+                                                             & (tc < c))))
+                carry = (jnp.where(better, tg, g),
+                         jnp.where(better, tr, r),
+                         jnp.where(better, tc, c))
+        return carry
+
+    def euclid_cost(S):
+        Hx, Hy = S[0:1, :], S[1:2, :]
+        Hxr = jnp.roll(Hx, -1, axis=1)
+        Hyr = jnp.roll(Hy, -1, axis=1)
+        wrap = j_row == n - 1
+        Hxr = jnp.where(wrap, Hx[:, 0:1], Hxr)
+        Hyr = jnp.where(wrap, Hy[:, 0:1], Hyr)
+        edges = dist_rr(Hx, Hy, Hxr, Hyr)
+        return jnp.sum(jnp.where(j_row <= n - 1, edges, 0.0))
+
+    def descent(S, move_fn, max_it):
+        def cond(carry):
+            _, it, last = carry
+            return (last < -1e-6) & (it < max_it)
+
+        def body(carry):
+            S, it, _ = carry
+            g, r, c = move_fn(S)
+            improved = g < -1e-6
+            S = jnp.where(improved, flip(S, r, c), S)
+            return S, it + 1, jnp.where(improved, g, 0.0)
+
+        S, _, _ = lax.while_loop(
+            cond, body, (S, jnp.int32(0), jnp.float32(-1.0)))
+        return S
+
+    def assemble(CT8, tour0):
+        S0 = jnp.concatenate([CT8[0:2, :], jnp.zeros((14, npad), f32)],
+                             axis=0)
+        S0 = permute_columns(S0, tour0)       # rows 0/1 = coords[tour_j]
+        return jnp.concatenate([S0[0:2, :], tour0, S0[3:, :]], axis=0)
+
+    return (permute_columns, flip, best_move, best_move_metric, euclid_cost,
+            descent, assemble)
+
+
+def _tiled_two_opt_kernel(n, npad, tile, max_it, coords_ref, tours_ref,
+                          out_ref):
+    """Whole 2-opt descent with O(npad) live state — TSP2000+ in VMEM.
+
+    The search state is ``S [16, npad]``: rows 0/1 = tour-permuted x/y
+    coordinates, row 2 = the tour itself (as exact f32 integers). Each
+    iteration scans the delta matrix in ``[tile, npad]`` row tiles computed
+    from coordinate views (running first-occurrence argmin, identical
+    semantics to the whole-matrix kernel), and applies the 2-opt segment
+    reversal as a column-tiled one-hot permutation matmul over S —
+    O(16 * npad^2) MXU work per move, no [npad, npad] array ever lives.
+    """
+    (_, _, best_move, _, _, descent, assemble) = _tiled_fns(n, npad, tile)
+    S = assemble(coords_ref[...], tours_ref[0].astype(jnp.float32))
+    S = descent(S, best_move, max_it)
     out_ref[0] = S[2:3, :].astype(jnp.int32)
+
+
+def _tiled_nls_kernel(n, npad, tile, max_it, t_nls, t_p,
+                      coords_ref, metric_ref, tours_ref, out_ref):
+    """NLS (reference tsp_nls/aco.py:241-258) at 1024 < n <= 2048: euclid
+    descents from coordinate views, perturbation descents on the resident
+    bf16 metric via ``best_move_metric`` — no [npad, npad] f32 ever lives."""
+    (_, _, best_move, best_move_metric, euclid_cost, descent,
+     assemble) = _tiled_fns(n, npad, tile)
+    Mb = metric_ref[...]                                       # bf16
+    S = assemble(coords_ref[...], tours_ref[0].astype(jnp.float32))
+    S = descent(S, best_move, max_it)
+    best_cost = euclid_cost(S)
+    best_tour = S[2:3, :]
+
+    def round_body(_, carry):
+        S, best_tour, best_cost = carry
+        S = descent(S, lambda s: best_move_metric(s, Mb), t_p)
+        S = descent(S, best_move, max_it)
+        cost = euclid_cost(S)
+        better = cost < best_cost
+        return (S,
+                jnp.where(better, S[2:3, :], best_tour),
+                jnp.where(better, cost, best_cost))
+
+    _, best_tour, _ = lax.fori_loop(0, t_nls, round_body,
+                                    (S, best_tour, best_cost))
+    out_ref[0] = best_tour.astype(jnp.int32)
 
 
 def _tiled_two_opt_call(coords, tours, max_iterations: int):
@@ -382,11 +519,11 @@ def _pad_tours(tours, npad):
 def pallas_ls_supported(n: int, ls: str = "nls") -> bool:
     """Whether the on-chip descent covers size ``n`` for the given mode.
 
-    NLS needs the whole-matrix metric kernel (npad <= 1024); plain 2-opt
-    additionally has the tiled kernel (npad <= 4096)."""
+    NLS runs whole-matrix to npad 1024, then the doubly-tiled resident-bf16
+    metric kernel to 2048; plain 2-opt has the tiled kernel to 4096."""
     if ls == "2opt":
         return _npad(n) <= MAX_NPAD_TILED
-    return _npad(n) <= MAX_NPAD
+    return _npad(n) <= MAX_NPAD_NLS_TILED
 
 
 def _interpret() -> bool:
@@ -449,8 +586,26 @@ def batched_nls_euclid(coords, heu_dist, tours, max_iterations: int,
 
         return batched_nls(distance_matrix(coords), heu_dist, tours,
                            max_iterations, t_nls, t_p)
-    npad = _npad(n)
     a = tours.shape[0]
+    if _npad(n) > MAX_NPAD:            # 1024 < n <= 2048: tiled NLS kernel
+        npad = max(_TILE, -(-n // _TILE) * _TILE)
+        out = pl.pallas_call(
+            functools.partial(_tiled_nls_kernel, n, npad, _TILE,
+                              max_iterations, t_nls, t_p),
+            grid=(a,),
+            in_specs=[
+                pl.BlockSpec((8, npad), lambda i: (0, 0)),
+                pl.BlockSpec((npad, npad), lambda i: (0, 0)),
+                pl.BlockSpec((1, 1, npad), lambda i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, npad), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((a, 1, npad), jnp.int32),
+            interpret=_interpret(),
+        )(_pad_coords(coords, npad),
+          _pad_square(heu_dist, npad).astype(jnp.bfloat16),
+          _pad_tours(tours, npad))
+        return out[:, 0, :n]
+    npad = _npad(n)
     out = pl.pallas_call(
         functools.partial(_nls_kernel, n, npad, max_iterations, t_nls, t_p),
         grid=(a,),

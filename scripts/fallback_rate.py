@@ -14,10 +14,15 @@ Also runs a small sparse-vs-dense A/B: the same instances through the dense
 batched engine (full [N, N] score/pheromone state) to anchor solution
 quality. Usage: python scripts/fallback_rate.py [n] [T]
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+# runnable as documented (`python scripts/fallback_rate.py`) without
+# PYTHONPATH (which breaks the axon TPU registration in this environment)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -65,9 +65,15 @@ _WORKER = textwrap.dedent("""
 """)
 
 
-@pytest.mark.slow
-def test_two_process_sharded_train_step(tmp_path):
-    port = str(29600 + os.getpid() % 200)
+def _free_port() -> str:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
+
+
+def _run_two_process(port):
     env = {**os.environ, "PYTHONPATH": os.getcwd()}
     env.pop("JAX_PLATFORMS", None)
     procs = [subprocess.Popen(
@@ -78,13 +84,26 @@ def test_two_process_sharded_train_step(tmp_path):
     for p in procs:
         out, _ = p.communicate(timeout=600)
         outs.append(out)
-        assert p.returncode == 0, out[-2000:]
+        if p.returncode != 0:
+            return None, outs
     results = {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("RESULT"):
                 _, pid, s, mc = line.split()
                 results[int(pid)] = (float(s), float(mc))
-    assert set(results) == {0, 1}, outs
+    if set(results) != {0, 1}:
+        return None, outs
+    return results, outs
+
+
+@pytest.mark.slow
+def test_two_process_sharded_train_step(tmp_path):
+    # dynamic free port + one retry: under full-suite load the fixed-port
+    # variant raced other tests' sockets (round-3 flake)
+    results, outs = _run_two_process(_free_port())
+    if results is None:
+        results, outs = _run_two_process(_free_port())
+    assert results is not None, outs
     # replicated params and cross-host metric agree bit-for-bit
     assert results[0] == results[1], results
