@@ -183,6 +183,90 @@ def extra_tsp2000_sparse():
             "tsp2000_cost_t5": round(float(c[-1]), 3)}
 
 
+def extra_tsp2000_nls():
+    """NLS past the 1024-node cap (round-4 tiled metric kernel): full
+    neural-guided rounds at n=2000 — a scale the reference's numba NLS
+    (tsp_nls/two_opt.py) only reaches on CPU threads. Bounded move budgets
+    keep this a smoke-scale probe; quality numbers live in the matrix."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepaco_tpu.ops.pallas_two_opt import batched_nls_euclid
+    from deepaco_tpu.ops.two_opt import heuristic_dist
+
+    n, a = 2000, 4
+    rng = np.random.default_rng(0)
+    coords = jnp.asarray(rng.random((n, 2)), jnp.float32)
+    from deepaco_tpu.utils.datasets import distance_matrix
+
+    dist = distance_matrix(coords)
+    hd = heuristic_dist(1.0 / dist)
+    tours = jnp.asarray(np.stack([rng.permutation(n) for _ in range(a)]),
+                        jnp.int32)
+    before = float(np.mean(np.asarray(
+        jnp.sum(dist[tours, jnp.roll(tours, 1, axis=1)], axis=1))))
+    args = (coords, hd, tours, 60, 2, 5)
+    out = np.asarray(batched_nls_euclid(*args))    # compile
+    t0 = time.perf_counter()
+    out = np.asarray(batched_nls_euclid(*args))
+    dt = time.perf_counter() - t0
+    v = jnp.asarray(out)
+    after = float(np.mean(np.asarray(
+        jnp.sum(dist[v, jnp.roll(v, 1, axis=1)], axis=1))))
+    return {"tsp2000_nls_wall_s": round(dt, 2),
+            "tsp2000_nls_cost_before": round(before, 2),
+            "tsp2000_nls_cost_after": round(after, 2)}
+
+
+def extra_sparse_telemetry():
+    """Sparse [N,K] path approximation rates (VERDICT r3 weak #8):
+    uniform-fallback fraction of ant-steps + dropped-deposit fraction of
+    tour edges at n=2000 (the full tool is scripts/fallback_rate.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepaco_tpu.aco.large_tsp import (classic_knn_heuristic, deposit_knn,
+                                           knn_support, sweep_construct_knn,
+                                           tour_cost_coords)
+    from deepaco_tpu.aco.runner import ACOConfig
+
+    n, k, ants, t_iters = 2000, 200, 20, 5
+    cfg = ACOConfig(n_ants=ants)
+    rng_np = np.random.default_rng(1234)
+    coords = jnp.asarray(rng_np.random((n, 2), np.float32))
+
+    @jax.jit
+    def stats(coords, rng):
+        nbr = knn_support(coords, k)
+        heu = classic_knn_heuristic(coords, nbr)
+        log_heu = cfg.beta * jnp.log(jnp.maximum(heu, 1e-30))
+        tau0 = jnp.ones((n, k), jnp.float32)
+
+        def body(carry, key):
+            tau = carry
+            score = (cfg.alpha * jnp.log(jnp.maximum(tau, 1e-30))
+                     + log_heu).astype(jnp.bfloat16)
+            k_start, k_sweep = jax.random.split(key)
+            start = jax.random.randint(k_start, (ants,), 0, n)
+            paths, n_fb = sweep_construct_knn(score, nbr, start, k_sweep,
+                                              with_stats=True)
+            costs = tour_cost_coords(coords, paths)
+            u, v = paths, jnp.roll(paths, -1, axis=0)
+            on = jnp.any(nbr[u] == v[..., None], axis=-1)
+            tau = deposit_knn(tau * cfg.decay, nbr, paths, cfg.q / costs,
+                              cfg.symmetric)
+            return tau, (n_fb, jnp.sum(1 - on.astype(jnp.int32)))
+
+        _, (fbs, offs) = jax.lax.scan(body, tau0,
+                                      jax.random.split(rng, t_iters))
+        return jnp.mean(fbs.astype(jnp.float32)), \
+            jnp.mean(offs.astype(jnp.float32))
+
+    fb, off = jax.block_until_ready(stats(coords, jax.random.PRNGKey(0)))
+    return {"sparse_fallback_rate": round(float(fb) / (ants * (n - 1)), 5),
+            "sparse_dropped_deposit_rate": round(float(off) / (ants * n), 5)}
+
+
 def extra_mfu_phases():
     """Device-utilization telemetry (VERDICT r2 missing #5).
 
@@ -348,7 +432,8 @@ def main():
     # second family, the Pallas LS kernel, the training step, and the
     # beyond-reference sparse TSP2000 path; each is best-effort
     for fn in (extra_cvrp_construction, extra_pallas_ls, extra_train_step,
-               extra_tsp2000_sparse, extra_mfu_phases):
+               extra_tsp2000_sparse, extra_tsp2000_nls,
+               extra_sparse_telemetry, extra_mfu_phases):
         try:
             out.update(fn())
         except Exception as e:             # pragma: no cover

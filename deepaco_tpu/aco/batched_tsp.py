@@ -173,7 +173,10 @@ def _batched_ls_fn(ls: str | None, coords, dist, heu, ls_budget: int):
         return None
     from deepaco_tpu.ops.two_opt import batched_nls, batched_two_opt, heuristic_dist
 
-    use_pallas = coords is not None and jax.default_backend() == "tpu"
+    import os
+
+    use_pallas = (coords is not None and jax.default_backend() == "tpu"
+                  and os.environ.get("DEEPACO_PALLAS_LS", "1") != "0")
     if use_pallas:
         from deepaco_tpu.ops.pallas_two_opt import (
             batched_nls_euclid, batched_two_opt_euclid, pallas_ls_supported)

@@ -375,13 +375,142 @@ struct Engine {
     return true;
   }
 
+  // relocate the pair (u, succ u) after v, optionally reversed
+  // (the classical CVRP pair-relocation neighborhood; round-4: the missing
+  // pair moves cost ~1% final tour quality vs the reference LS in A/B)
+  bool try_relocate_pair(int u, int v, bool reversed) {
+    int ru = S.route_of[u], pu = S.pos_of[u];
+    std::vector<int>& RU = S.routes[ru];
+    if (pu + 1 >= (int)RU.size()) return false;    // u has no in-route succ
+    int x = RU[pu + 1];
+    if (v == x || v == u) return false;
+    int rv = S.route_of[v], pv = S.pos_of[v];
+    if (rv == ru && pv >= pu - 1 && pv <= pu + 1) return false;
+    if (rv != ru && S.load[rv] + P.dem[u] + P.dem[x] > P.cap) return false;
+    int p_u = pred_node(RU, pu), s_x = succ_node(RU, pu + 1);
+    std::vector<int>& RV = S.routes[rv];
+    int s_v = succ_node(RV, pv);
+    double rem = P.d(p_u, s_x) - P.d(p_u, u) - P.d(x, s_x);
+    double ins;
+    if (!reversed) {
+      ins = P.d(v, u) + P.d(x, s_v) - P.d(v, s_v);
+    } else {
+      ins = P.d(v, x) + P.d(u, s_v) - P.d(v, s_v)
+            + P.d(x, u) - P.d(u, x);   // internal edge flips (asym metrics)
+    }
+    if (rem + ins >= -1e-9) return false;
+    RU.erase(RU.begin() + pu, RU.begin() + pu + 2);
+    int target = pv + 1;
+    if (rv == ru && pu < target) target -= 2;
+    if (!reversed) {
+      RV.insert(RV.begin() + target, {u, x});
+    } else {
+      RV.insert(RV.begin() + target, {x, u});
+    }
+    if (rv != ru) {
+      S.load[ru] -= P.dem[u] + P.dem[x];
+      S.load[rv] += P.dem[u] + P.dem[x];
+    }
+    S.index_route(ru);
+    if (rv != ru) S.index_route(rv);
+    mark(ru); if (rv != ru) mark(rv);
+    return true;
+  }
+
+  // swap the pair (u, succ u) with the single customer v (inter-route)
+  bool try_swap_pair_single(int u, int v) {
+    int ru = S.route_of[u], pu = S.pos_of[u];
+    int rv = S.route_of[v], pv = S.pos_of[v];
+    if (rv == ru) return false;
+    std::vector<int>& RU = S.routes[ru];
+    if (pu + 1 >= (int)RU.size()) return false;
+    int x = RU[pu + 1];
+    if (S.load[ru] - P.dem[u] - P.dem[x] + P.dem[v] > P.cap) return false;
+    if (S.load[rv] - P.dem[v] + P.dem[u] + P.dem[x] > P.cap) return false;
+    std::vector<int>& RV = S.routes[rv];
+    int p_u = pred_node(RU, pu), s_x = succ_node(RU, pu + 1);
+    int p_v = pred_node(RV, pv), s_v = succ_node(RV, pv);
+    double delta = P.d(p_u, v) + P.d(v, s_x) - P.d(p_u, u) - P.d(x, s_x)
+                 + P.d(p_v, u) + P.d(x, s_v) - P.d(p_v, v) - P.d(v, s_v);
+    if (delta >= -1e-9) return false;
+    RU.erase(RU.begin() + pu, RU.begin() + pu + 2);
+    RU.insert(RU.begin() + pu, v);
+    RV.erase(RV.begin() + pv);
+    RV.insert(RV.begin() + pv, {u, x});
+    S.load[ru] += P.dem[v] - P.dem[u] - P.dem[x];
+    S.load[rv] += P.dem[u] + P.dem[x] - P.dem[v];
+    S.index_route(ru); S.index_route(rv);
+    mark(ru); mark(rv);
+    return true;
+  }
+
+  // swap the pair (u, succ u) with the pair (v, succ v) (inter-route)
+  bool try_swap_pair_pair(int u, int v) {
+    int ru = S.route_of[u], pu = S.pos_of[u];
+    int rv = S.route_of[v], pv = S.pos_of[v];
+    if (rv == ru) return false;
+    std::vector<int>& RU = S.routes[ru];
+    std::vector<int>& RV = S.routes[rv];
+    if (pu + 1 >= (int)RU.size() || pv + 1 >= (int)RV.size()) return false;
+    int x = RU[pu + 1], y = RV[pv + 1];
+    double dux = P.dem[u] + P.dem[x], dvy = P.dem[v] + P.dem[y];
+    if (S.load[ru] - dux + dvy > P.cap) return false;
+    if (S.load[rv] - dvy + dux > P.cap) return false;
+    int p_u = pred_node(RU, pu), s_x = succ_node(RU, pu + 1);
+    int p_v = pred_node(RV, pv), s_y = succ_node(RV, pv + 1);
+    double delta = P.d(p_u, v) + P.d(y, s_x) - P.d(p_u, u) - P.d(x, s_x)
+                 + P.d(p_v, u) + P.d(x, s_y) - P.d(p_v, v) - P.d(y, s_y);
+    if (delta >= -1e-9) return false;
+    RU[pu] = v; RU[pu + 1] = y;
+    RV[pv] = u; RV[pv + 1] = x;
+    S.load[ru] += dvy - dux;
+    S.load[rv] += dux - dvy;
+    S.index_route(ru); S.index_route(rv);
+    mark(ru); mark(rv);
+    return true;
+  }
+
+  // 2-opt* reversal variant: join head(u)+rev(head(v)) / rev(tail(u))+tail(v)
+  bool try_two_opt_star_rev(int u, int v) {
+    int ru = S.route_of[u], rv = S.route_of[v];
+    if (ru == rv) return false;
+    int pu = S.pos_of[u], pv = S.pos_of[v];
+    std::vector<int>& RU = S.routes[ru];
+    std::vector<int>& RV = S.routes[rv];
+    double head_u = 0, head_v = 0;
+    for (int t = 0; t <= pu; ++t) head_u += P.dem[RU[t]];
+    for (int t = 0; t <= pv; ++t) head_v += P.dem[RV[t]];
+    double tail_u = S.load[ru] - head_u, tail_v = S.load[rv] - head_v;
+    if (head_u + head_v > P.cap || tail_u + tail_v > P.cap) return false;
+    int su = succ_node(RU, pu), sv = succ_node(RV, pv);
+    // symmetric-metric delta (interior + depot edges reverse in place),
+    // matching the classical 2-opt* second variant
+    double delta = P.d(u, v) + P.d(su, sv) - P.d(u, su) - P.d(v, sv);
+    if (delta >= -1e-9) return false;
+    std::vector<int> new_u(RU.begin(), RU.begin() + pu + 1);
+    new_u.insert(new_u.end(), RV.rend() - (pv + 1), RV.rend());
+    std::vector<int> new_v(RU.rbegin(), RU.rbegin() + (RU.size() - pu - 1));
+    new_v.insert(new_v.end(), RV.begin() + pv + 1, RV.end());
+    RU.swap(new_u); RV.swap(new_v);
+    S.load[ru] = head_u + head_v;
+    S.load[rv] = tail_u + tail_v;
+    S.index_route(ru); S.index_route(rv);
+    mark(ru); mark(rv);
+    return true;
+  }
+
   // Test all RI moves for node u against its granular neighborhood.
   bool improve_node(int u) {
     for (int v : P.nbr[u]) {
       if (try_relocate(u, v)) return true;
+      if (try_relocate_pair(u, v, false)) return true;
+      if (try_relocate_pair(u, v, true)) return true;
       if (v > u && try_swap(u, v)) return true;
+      if (try_swap_pair_single(u, v)) return true;
+      if (v > u && try_swap_pair_pair(u, v)) return true;
       if (try_two_opt_intra(u, v)) return true;
       if (try_two_opt_star(u, v)) return true;
+      if (try_two_opt_star_rev(u, v)) return true;
     }
     return false;
   }

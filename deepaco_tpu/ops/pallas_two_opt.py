@@ -55,6 +55,10 @@ MAX_NPAD_TILED = 4096
 # [TILE, TILE] blocks per move — [2048 x 2048] bf16 = 8 MB, within VMEM.
 MAX_NPAD_NLS_TILED = 2048
 _TILE = 256
+# the NLS variant carries the resident bf16 metric (8 MB at 2048) on top of
+# the row-tile temporaries; tile 128 keeps the unrolled-loop live set under
+# the 16 MB scoped-VMEM budget (tile 256 measured 18.8 MB at npad 2048)
+_TILE_NLS = 128
 
 
 def _npad(n: int) -> int:
@@ -588,9 +592,9 @@ def batched_nls_euclid(coords, heu_dist, tours, max_iterations: int,
                            max_iterations, t_nls, t_p)
     a = tours.shape[0]
     if _npad(n) > MAX_NPAD:            # 1024 < n <= 2048: tiled NLS kernel
-        npad = max(_TILE, -(-n // _TILE) * _TILE)
+        npad = max(_TILE_NLS, -(-n // _TILE_NLS) * _TILE_NLS)
         out = pl.pallas_call(
-            functools.partial(_tiled_nls_kernel, n, npad, _TILE,
+            functools.partial(_tiled_nls_kernel, n, npad, _TILE_NLS,
                               max_iterations, t_nls, t_p),
             grid=(a,),
             in_specs=[

@@ -1,5 +1,7 @@
 #!/usr/bin/env python
 """Microbenchmarks for the sparse sweep's per-step pieces on TPU."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """Microbench the batched construction step: flat row-gather vs one-hot
 MXU matmul row fetch, plus component floors (gumbel, argmax)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np

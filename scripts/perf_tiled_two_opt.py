@@ -1,4 +1,6 @@
 """Microbench: tiled 2-opt per-move cost (run when TPU is free)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 import jax, numpy as np, jax.numpy as jnp
 from deepaco_tpu.ops.pallas_two_opt import _tiled_two_opt_call

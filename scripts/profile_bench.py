@@ -5,6 +5,8 @@ Times three jitted programs on the real TPU over the same 100 golden TSP500
 instances: (a) GNN heuristic matrices only, (b) one ACO iteration, (c) the
 full T=10 anytime sweep. The deltas localize the next optimization target.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import numpy as np
