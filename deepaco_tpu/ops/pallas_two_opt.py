@@ -311,75 +311,93 @@ def _tiled_fns(n, npad, tile):
                      jnp.where(better, tc, c))
         return carry
 
-    def best_move_metric(S, Mb):
+    def best_move_metric(S, m_dot, cj_scr):
         """Best 2-opt move under an arbitrary (bf16) metric, doubly tiled.
 
         ``delta[i, j] = M[t_{i-1}, t_j] + M[t_i, t_{j+1}]
                         - M[t_{i-1}, t_i] - M[t_j, t_{j+1}]``.
-        Per row tile, the needed metric ROWS are extracted by one-hot MXU
-        contraction against the resident ``Mb`` (exact bf16 selection); the
-        column permutation by the tour is applied per ``[tile, tile]``
-        block. Ties break lexicographically on (value, i, j), matching the
-        whole-matrix kernel's flat first-occurrence argmin.
+        ``m_dot(oh)`` contracts a one-hot row-selector ``[tile, npad]``
+        against the metric -> ``[tile, npad]`` f32 (the caller owns the
+        metric's residency — HBM streamed in halves, see
+        ``_tiled_nls_kernel``); ``cj_scr`` is an ``[8, npad]`` f32 scratch
+        whose row 0 carries the closing-edge costs. Both tile loops are
+        ``fori_loop``s with 128-aligned dynamic slices: the Python-unrolled
+        variant kept every iteration's [tile, npad] temporaries live and
+        blew the 16 MB scoped-VMEM budget (measured 23-45 MB at npad
+        1536-2048). Ties break lexicographically on (value, i, j), matching
+        the whole-matrix kernel's flat first-occurrence argmin.
         """
-        t = S[2:3, :]                                          # [1, npad] f32
+        f32 = jnp.float32
+        t = S[2:3, :]                                          # [1, npad]
         t_up = jnp.roll(t, 1, axis=1)
         u = jnp.roll(t, -1, axis=1)
         u = jnp.where(j_row == n - 1, t[:, 0:1], u)            # j+1 wraps
+        # Mosaic has no dynamic_slice on VALUES — stage the three tour rows
+        # in the scratch (rows 1..3) and pl.ds-slice the REF instead.
+        cj_scr[1:2, :] = t
+        cj_scr[2:3, :] = t_up
+        cj_scr[3:4, :] = u
         city_lane = lax.broadcasted_iota(jnp.int32, (tile, npad), 1)
         city_col = lax.broadcasted_iota(jnp.int32, (npad, tile), 0)
 
-        def seg_col(row, i0):
-            """[1, npad] row -> [tile, 1] transposed segment at i0."""
-            return tile_cols(row, i0, 1)
+        T_ROW, TUP_ROW, U_ROW = 1, 2, 3
+
+        def dyn_row(row_id, i0):
+            """scratch row -> [1, tile] at lane offset i0 (128-aligned)."""
+            return cj_scr[row_id:row_id + 1, pl.ds(i0, tile)]
+
+        def seg_col(row_id, i0):
+            """scratch row -> [tile, 1] transposed segment at i0."""
+            return lax.dot_general(ident_t, dyn_row(row_id, i0),
+                                   (((1,), (1,)), ((), ())),
+                                   precision=HIGHEST)
 
         def extract_rows(vals_col):
             """[tile, 1] city ids -> their metric rows [tile, npad] bf16
             (+ the one-hot used, for diagonal picks)."""
             oh = (city_lane == vals_col.astype(jnp.int32))
-            rows = lax.dot_general(
-                oh.astype(jnp.bfloat16), Mb, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)
-            return rows.astype(jnp.bfloat16), oh
+            return m_dot(oh).astype(jnp.bfloat16), oh
 
-        # pass 1: the closing-edge row c_j[j] = M[t_j, t_{j+1}]
-        cj_parts = []
-        for ti in range(nt):
+        # pass 1: the closing-edge row c_j[j] = M[t_j, t_{j+1}] -> cj_scr[0]
+        def cj_body(ti, _):
             i0 = ti * tile
-            b_rows, _ = extract_rows(seg_col(t, i0))           # M[t_j, :]
-            oh_u = (city_lane == seg_col(u, i0).astype(jnp.int32))
+            b_rows, _ = extract_rows(seg_col(T_ROW, i0))       # M[t_j, :]
+            oh_u = (city_lane == seg_col(U_ROW, i0).astype(jnp.int32))
             cj_seg = jnp.sum(jnp.where(oh_u, b_rows.astype(f32), 0.0),
                              axis=1, keepdims=True)            # [tile, 1]
-            cj_parts.append(lax.dot_general(
+            cj_scr[0:1, pl.ds(i0, tile)] = lax.dot_general(
                 cj_seg, ident_t, (((0,), (0,)), ((), ())),
-                precision=HIGHEST))                            # [1, tile]
-        c_j = jnp.concatenate(cj_parts, axis=1) if nt > 1 else cj_parts[0]
+                precision=HIGHEST)                             # [1, tile]
+            return 0
 
-        carry = (jnp.asarray(jnp.inf, f32), jnp.int32(npad), jnp.int32(npad))
-        for ti in range(nt):
+        lax.fori_loop(0, nt, cj_body, 0)
+
+        def ti_body(ti, carry):
             i0 = ti * tile
-            b_col = seg_col(t, i0)
+            b_col = seg_col(T_ROW, i0)
             oh_b = city_lane == b_col.astype(jnp.int32)
-            a_rows, _ = extract_rows(seg_col(t_up, i0))        # M[t_{i-1}, :]
+            a_rows, _ = extract_rows(seg_col(TUP_ROW, i0))     # M[t_{i-1},:]
             b_rows, _ = extract_rows(b_col)                    # M[t_i, :]
             c_i = jnp.sum(jnp.where(oh_b, a_rows.astype(f32), 0.0),
                           axis=1, keepdims=True)               # [tile, 1]
             gi = i0 + i_col_t
-            for tj in range(nt):
-                g, r, c = carry          # CURRENT best, not the tile-entry one
+
+            def tj_body(tj, carry):
+                g, r, c = carry
                 j0 = tj * tile
-                t_seg = t[:, j0:j0 + tile]                     # [1, tile]
-                u_seg = u[:, j0:j0 + tile]
+                t_seg = dyn_row(T_ROW, j0)                     # [1, tile]
+                u_seg = dyn_row(U_ROW, j0)
                 w_t = (city_col == t_seg.astype(jnp.int32)).astype(
                     jnp.bfloat16)                              # [npad, tile]
                 w_u = (city_col == u_seg.astype(jnp.int32)).astype(
                     jnp.bfloat16)
-                d_up = lax.dot_general(a_rows, w_t, (((1,), (0,)), ((), ())),
+                d_up = lax.dot_general(a_rows, w_t,
+                                       (((1,), (0,)), ((), ())),
                                        preferred_element_type=f32)
                 d_right = lax.dot_general(b_rows, w_u,
                                           (((1,), (0,)), ((), ())),
                                           preferred_element_type=f32)
-                delta = d_up + d_right - c_i - c_j[:, j0:j0 + tile]
+                delta = d_up + d_right - c_i - cj_scr[0:1, pl.ds(j0, tile)]
                 gj = j0 + j_row_t
                 valid = (gi >= 1) & (gj > gi) & (gj <= n - 1)
                 delta = jnp.where(valid, delta, jnp.inf)
@@ -392,10 +410,14 @@ def _tiled_fns(n, npad, tile):
                 # lexicographic (value, i, j) — matches a flat argmin
                 better = (tg < g) | ((tg == g) & ((tr < r) | ((tr == r)
                                                              & (tc < c))))
-                carry = (jnp.where(better, tg, g),
-                         jnp.where(better, tr, r),
-                         jnp.where(better, tc, c))
-        return carry
+                return (jnp.where(better, tg, g),
+                        jnp.where(better, tr, r),
+                        jnp.where(better, tc, c))
+
+            return lax.fori_loop(0, nt, tj_body, carry)
+
+        init = (jnp.asarray(jnp.inf, f32), jnp.int32(npad), jnp.int32(npad))
+        return lax.fori_loop(0, nt, ti_body, init)
 
     def euclid_cost(S):
         Hx, Hy = S[0:1, :], S[1:2, :]
@@ -452,31 +474,62 @@ def _tiled_two_opt_kernel(n, npad, tile, max_it, coords_ref, tours_ref,
 
 
 def _tiled_nls_kernel(n, npad, tile, max_it, t_nls, t_p,
-                      coords_ref, metric_ref, tours_ref, out_ref):
+                      coords_ref, metric_ref, tours_ref, out_ref,
+                      mh_scr, cj_scr, m_sem):
     """NLS (reference tsp_nls/aco.py:241-258) at 1024 < n <= 2048: euclid
     descents from coordinate views, perturbation descents on the resident
-    bf16 metric via ``best_move_metric`` — no [npad, npad] f32 ever lives."""
+    bf16 metric via ``best_move_metric`` — no [npad, npad] f32 ever lives.
+
+    ALL ants run inside one gridless invocation (an ant ``fori`` loop),
+    and the metric LIVES IN HBM (``ANY`` memory space): every VMEM-resident
+    variant measured 18.6-44.9 MB scoped VMEM at npad 2048 (grid double
+    buffering; Mosaic materializing full-array read values). Each metric
+    contraction streams the matrix through a half-size VMEM scratch
+    (~npad^2 bytes of DMA per one-hot extraction — ~0.5 ms/move at 2048,
+    small against the descent's MXU work)."""
     (_, _, best_move, best_move_metric, euclid_cost, descent,
      assemble) = _tiled_fns(n, npad, tile)
-    Mb = metric_ref[...]                                       # bf16
-    S = assemble(coords_ref[...], tours_ref[0].astype(jnp.float32))
-    S = descent(S, best_move, max_it)
-    best_cost = euclid_cost(S)
-    best_tour = S[2:3, :]
+    chunk = npad // 4
+    f32 = jnp.float32
 
-    def round_body(_, carry):
-        S, best_tour, best_cost = carry
-        S = descent(S, lambda s: best_move_metric(s, Mb), t_p)
+    def m_dot(oh):
+        acc = jnp.zeros((oh.shape[0], npad), f32)
+        for h in range(4):
+            cp = pltpu.make_async_copy(
+                metric_ref.at[h * chunk:(h + 1) * chunk, :], mh_scr, m_sem)
+            cp.start()
+            cp.wait()
+            acc = acc + lax.dot_general(
+                oh[:, h * chunk:(h + 1) * chunk].astype(jnp.bfloat16),
+                mh_scr[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)
+        return acc
+
+    a_total = tours_ref.shape[0]
+
+    def ant_body(a, _):
+        S = assemble(coords_ref[...], tours_ref[a].astype(jnp.float32))
         S = descent(S, best_move, max_it)
-        cost = euclid_cost(S)
-        better = cost < best_cost
-        return (S,
-                jnp.where(better, S[2:3, :], best_tour),
-                jnp.where(better, cost, best_cost))
+        best_cost = euclid_cost(S)
+        best_tour = S[2:3, :]
 
-    _, best_tour, _ = lax.fori_loop(0, t_nls, round_body,
-                                    (S, best_tour, best_cost))
-    out_ref[0] = best_tour.astype(jnp.int32)
+        def round_body(_, carry):
+            S, best_tour, best_cost = carry
+            S = descent(S, lambda s: best_move_metric(s, m_dot,
+                                                      cj_scr), t_p)
+            S = descent(S, best_move, max_it)
+            cost = euclid_cost(S)
+            better = cost < best_cost
+            return (S,
+                    jnp.where(better, S[2:3, :], best_tour),
+                    jnp.where(better, cost, best_cost))
+
+        _, best_tour, _ = lax.fori_loop(0, t_nls, round_body,
+                                        (S, best_tour, best_cost))
+        out_ref[a] = best_tour.astype(jnp.int32)
+        return 0
+
+    lax.fori_loop(0, a_total, ant_body, 0)
 
 
 def _tiled_two_opt_call(coords, tours, max_iterations: int):
@@ -596,14 +649,16 @@ def batched_nls_euclid(coords, heu_dist, tours, max_iterations: int,
         out = pl.pallas_call(
             functools.partial(_tiled_nls_kernel, n, npad, _TILE_NLS,
                               max_iterations, t_nls, t_p),
-            grid=(a,),
             in_specs=[
-                pl.BlockSpec((8, npad), lambda i: (0, 0)),
-                pl.BlockSpec((npad, npad), lambda i: (0, 0)),
-                pl.BlockSpec((1, 1, npad), lambda i: (i, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1, npad), lambda i: (i, 0, 0)),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((a, 1, npad), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((npad // 4, npad), jnp.bfloat16),
+                            pltpu.VMEM((8, npad), jnp.float32),
+                            pltpu.SemaphoreType.DMA],
             interpret=_interpret(),
         )(_pad_coords(coords, npad),
           _pad_square(heu_dist, npad).astype(jnp.bfloat16),

@@ -89,16 +89,18 @@ def test_tiled_nls_parity_multi_tile():
     heu = 1.0 / dist
     hd = heuristic_dist(heu)
     tours = random_tours(n, 3, 10)
+    from jax.experimental.pallas import tpu as pltpu
+
     out = pl.pallas_call(
         functools.partial(pto._tiled_nls_kernel, n, npad, tile, 40, 2, 5),
-        grid=(tours.shape[0],),
-        in_specs=[
-            pl.BlockSpec((8, npad), lambda i: (0, 0)),
-            pl.BlockSpec((npad, npad), lambda i: (0, 0)),
-            pl.BlockSpec((1, 1, npad), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, npad), lambda i: (i, 0, 0)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((tours.shape[0], 1, npad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((npad // 4, npad), jnp.bfloat16),
+                        pltpu.VMEM((8, npad), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
         interpret=True,
     )(pto._pad_coords(coords, npad),
       pto._pad_square(hd, npad).astype(jnp.bfloat16),
