@@ -1,8 +1,13 @@
 """Construction-step experiments: row gather vs one-hot MXU gather.
 
-The dense sweep's per-step cost (~29 us at B=100, A=20, N=500) is dominated
-by the [B*A] dynamic row gather. This times the alternatives end-to-end.
-Run from the repo root when the TPU is free.
+MEASURED (v5e, B=100, A=20, N=500, bf16, relay-amortized over 10 sweeps):
+row gather 32.3 us/step; one-hot MXU gather 48.1 us/step (the gather is NOT
+the bottleneck — the 7-pass elementwise chain over [B*A, N] temporaries is,
+~17 us of pure HBM traffic); scan unroll 4/8 equal, 16+ worse. Conclusion:
+the XLA formulation in aco/batched_tsp.py is within ~2x of its bandwidth
+floor and further gains need a fused single-pass step kernel with in-kernel
+PRNG — parked (the HBM-resident score matrix cannot be row-gathered from
+inside a Pallas kernel without per-ant DMAs).
 """
 import sys
 import time
@@ -30,6 +35,9 @@ def sweep(score, start, rng, gather: str):
                       jnp.zeros((), dtype), jnp.ones((), dtype))
     step_keys = jax.random.split(rng, n - 1)
 
+    unroll = int(gather.split(":")[1]) if ":" in gather else 8
+    gather = gather.split(":")[0]
+
     def step(carry, key):
         cur, mask = carry
         if gather == "rows":
@@ -47,7 +55,7 @@ def sweep(score, start, rng, gather: str):
         return (action, mask), action
 
     _, actions = jax.lax.scan(step, (start.astype(jnp.int32), mask0),
-                              step_keys, unroll=8)
+                              step_keys, unroll=unroll)
     return actions
 
 
@@ -57,13 +65,20 @@ def main():
     score = jnp.asarray(rng.random((B, N, N)), jnp.bfloat16)
     start = jnp.asarray(rng.integers(0, N, (B, A)), jnp.int32)
 
-    for mode in ("rows", "onehot"):
-        fn = jax.jit(lambda s, st, k, m=mode: sweep(s, st, k, m))
+    # amortize the ~150-300 ms relay dispatch: 10 sweeps inside ONE program
+    for mode in ("rows:4", "rows:8", "rows:16", "rows:32"):
+        def ten(s, st, k, m=mode):
+            def body(carry, kk):
+                acts = sweep(s, st, kk, m)
+                return carry + jnp.sum(acts), None
+            tot, _ = jax.lax.scan(body, jnp.int32(0), jax.random.split(k, 10))
+            return tot
+        fn = jax.jit(ten)
         np.asarray(fn(score, start, jax.random.PRNGKey(0)))
         t0 = time.perf_counter()
-        for r in range(3):
+        for r in range(2):
             np.asarray(fn(score, start, jax.random.PRNGKey(r + 1)))
-        dt = (time.perf_counter() - t0) / 3
+        dt = (time.perf_counter() - t0) / 2 / 10
         print(f"{mode:7s}: {dt*1000:7.2f} ms/construction "
               f"({dt/(N-1)*1e6:.1f} us/step)", flush=True)
 
