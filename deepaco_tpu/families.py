@@ -114,8 +114,13 @@ def gen_pctsp(rng, n):
 
 
 def gen_smtwtp(rng, n):
-    return {"due_norm": rng.random(n, dtype=np.float32),
-            "due": (rng.random(n) * n).astype(np.float32),
+    # due = due_norm * n from the SAME draw (smtwtp/utils.py:6-8) — round-4
+    # fix: independent draws left the model's due_norm input feature
+    # uncorrelated with the objective's due times, so smtwtp training
+    # diverged after the pheromone's early gains
+    due_norm = rng.random(n, dtype=np.float32)
+    return {"due_norm": due_norm,
+            "due": due_norm * n,
             "weights": rng.random(n, dtype=np.float32),
             "processing": rng.random(n, dtype=np.float32)}
 

@@ -71,16 +71,23 @@ def make_family_train_step(family: Family, model: Net, cfg: ProblemConfig):
     sign = -1.0 if family.aco.maximize else 1.0
 
     def per_instance(params, batch_stats, inst, key):
-        inst = family.prepare(inst)
-        heu, new_stats = _forward_heu(
-            family, model, params, batch_stats, inst, cfg.k_sparse, True)
-        tau = jnp.ones_like(heu)
-        spec = family.spec(tau, heu, inst, a.n_ants)
-        ro = rollout(spec, key, alpha=family.aco.alpha,
-                     beta=family.aco.beta, require_prob=True)
-        costs = family.cost(ro.paths, inst)
-        adv = jax.lax.stop_gradient(sign * (costs - jnp.mean(costs)))
-        loss = jnp.sum(adv * jnp.sum(ro.log_probs, axis=0)) / a.n_ants
+        # full-precision matmuls for the REINFORCE step: the reference
+        # trains in fp32, and TPU-default bf16 gradients diverge on the
+        # bf16-sensitive node-update-disabled nets (smtwtp100: val WORSENED
+        # 65->73 over 5 epochs on TPU while the identical fp32 CPU run
+        # converged 163->66 in 60 steps). Kernels that pin an explicit
+        # precision (the fused Pallas VJP) are unaffected.
+        with jax.default_matmul_precision("highest"):
+            inst = family.prepare(inst)
+            heu, new_stats = _forward_heu(
+                family, model, params, batch_stats, inst, cfg.k_sparse, True)
+            tau = jnp.ones_like(heu)
+            spec = family.spec(tau, heu, inst, a.n_ants)
+            ro = rollout(spec, key, alpha=family.aco.alpha,
+                         beta=family.aco.beta, require_prob=True)
+            costs = family.cost(ro.paths, inst)
+            adv = jax.lax.stop_gradient(sign * (costs - jnp.mean(costs)))
+            loss = jnp.sum(adv * jnp.sum(ro.log_probs, axis=0)) / a.n_ants
         return loss, new_stats, jnp.mean(costs)
 
     @jax.jit
