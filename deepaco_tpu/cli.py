@@ -231,7 +231,10 @@ def _cmd_test_rcpsp(args) -> None:
             g0 = rcpsp_graph_arrays(insts[0])
             tmpl_vars = model.init(jax.random.PRNGKey(0),
                                    (g0[0], (_block(*g0[1:]),)), train=False)
-            tx = optax.adamw(1e-3)
+            # must mirror train_rcpsp's optimizer chain so the serialized
+            # opt_state pytree matches (clip + adamw, train/special.py:88)
+            tx = optax.chain(optax.clip_by_global_norm(1.0),
+                             optax.adamw(1e-3))
             template = TrainState(tmpl_vars["params"],
                                   tmpl_vars.get("batch_stats", {}),
                                   tx.init(tmpl_vars["params"]), 0)
