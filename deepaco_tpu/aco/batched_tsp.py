@@ -162,6 +162,53 @@ def dense_sweep(score: jax.Array, start: jax.Array, rng: jax.Array,
                          (1, 0, 2))
 
 
+def dense_sweep_fused(score: jax.Array, start: jax.Array, rng: jax.Array,
+                      *, stochastic: bool = True, tile: int = 512
+                      ) -> jax.Array:
+    """:func:`dense_sweep` with the per-step Pallas fused pick.
+
+    Identical sampling law (Gumbel-max over masked bf16 score rows;
+    tsp/aco.py:165-177): the XLA row gather stays, but mask test, Gumbel
+    noise (on-chip PRNG), argmax and the visited-set update run as ONE
+    VMEM pass per step, with the visited set carried bit-packed
+    ([B*A, ceil(N/32)] uint32 instead of a [B, A, N] bf16 mask — 16x less
+    scan-carry traffic). Greedy mode (``stochastic=False``) is bit-equal to
+    :func:`dense_sweep`'s argmax decode (pinned by tests).
+    """
+    from deepaco_tpu.ops.pallas_kernels import (fused_step_pallas,
+                                                pack_visited, visited_words)
+
+    b, n, _ = score.shape
+    a = start.shape[1]
+    score_flat = score.reshape(b * n, n)
+    base = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
+    start = start.astype(jnp.int32)
+    words0 = pack_visited(jnp.zeros((b * a, visited_words(n)), jnp.uint32),
+                          start.reshape(-1), n)
+    info = jnp.iinfo(jnp.int32)
+    seeds = jax.random.randint(rng, (n - 1,), info.min, info.max,
+                               dtype=jnp.int32)
+
+    def step(carry, seed):
+        cur, words = carry
+        rows = score_flat[(base + cur).reshape(-1)]          # [B*A, N]
+        action, words = fused_step_pallas(rows, words, seed,
+                                          stochastic=stochastic, tile=tile)
+        action = action.reshape(b, a)
+        return (action, words), action
+
+    _, actions = jax.lax.scan(step, (start, words0), seeds, unroll=8)
+    return jnp.transpose(jnp.concatenate([start[None], actions], axis=0),
+                         (1, 0, 2))
+
+
+def _use_fused_step() -> bool:
+    import os
+
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("DEEPACO_FUSED_STEP", "1") != "0")
+
+
 def _batched_ls_fn(ls: str | None, coords, dist, heu, ls_budget: int):
     """Whole-batch local-search hook: ``paths [B, N, A] -> improved paths``.
 
@@ -247,7 +294,10 @@ def run_anytime_batched(heu: jax.Array, dist: jax.Array, cfg: ACOConfig,
                  + log_heu).astype(sample_dtype)
         k_start, k_sweep = jax.random.split(key)
         start = _start_cities(k_start, b, a, n, fixed_start)
-        paths = dense_sweep(score, start, k_sweep)
+        if _use_fused_step():
+            paths = dense_sweep_fused(score, start, k_sweep)
+        else:
+            paths = dense_sweep(score, start, k_sweep)
         if ls_fn is not None:
             paths = ls_fn(paths)
         state = _batched_update(cfg, state, paths, dist)

@@ -358,7 +358,29 @@ def _cmd_test_cvrp_ls(args) -> None:
                 break
         else:
             raise SystemExit("no cvrp_nls checkpoint found; pass --ckpt")
-    variables = load_reference_checkpoint(args.ckpt)
+    if args.ckpt.endswith(".pt"):
+        variables = load_reference_checkpoint(args.ckpt)
+    else:
+        # self-trained msgpack: rebuild the train_cvrp_nls TrainState template
+        # (train/special.py) and restore params + batch stats from it
+        import optax
+
+        from deepaco_tpu.train.reinforce import TrainState
+        from deepaco_tpu.utils.checkpoint import load_checkpoint
+
+        tmpl_model = Net()
+        dist0 = jnp.asarray(ds["dist"][0], jnp.float32)
+        demand0 = jnp.asarray(ds["demand"][0], jnp.float32)
+        g0 = cvrp_nls_graph(demand0, dist0, k=k)
+        variables0 = tmpl_model.init(jax.random.PRNGKey(0), g0, train=False)
+        tx = optax.chain(optax.clip_by_global_norm(3.0), optax.adamw(1e-4))
+        template = TrainState(params=variables0["params"],
+                              batch_stats=variables0.get("batch_stats", {}),
+                              opt_state=tx.init(variables0["params"]),
+                              step=jnp.zeros((), jnp.int32))
+        state = load_checkpoint(args.ckpt, template)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
     model = Net()
 
     @jax.jit

@@ -432,6 +432,108 @@ def tour_deposit_xla(tau_shape_n: int, paths: jax.Array, amounts: jax.Array,
     return jnp.zeros((tau_shape_n, tau_shape_n), jnp.float32).at[u, v].add(w)
 
 
+# ----------------------------------------------- fused construction step ---
+_WORD = 32
+
+
+def _fused_step_kernel(stochastic, n, rows_ref, words_ref, seed_ref,
+                       action_ref, new_words_ref):
+    """One batched construction step for a ``[R, N]`` row tile.
+
+    Fuses what the XLA scan step issues as ~5 separate HBM passes
+    (mask unpack/test, Gumbel noise, argmax, visited-set update) into one
+    VMEM pass; the visited set stays bit-packed (``[R, W]`` uint32, 16x less
+    carry traffic than the ``[R, N]`` bf16 mask) and the Gumbel noise comes
+    from the on-chip PRNG instead of an XLA threefry/rbg tensor.
+
+    rows: [R, N] bf16 score rows (gathered by XLA at the current cities);
+    words: [R, W] uint32 bit-packed visited set in INTERLEAVED layout —
+    column c is bit (c // W) of word (c mod W), W = ceil(n/32) — chosen so
+    the in-kernel unpack is one ``pltpu.repeat`` tiling; seed: [1,1] int32.
+    Outputs: action [R, 1] int32 (argmax of masked noisy logits — the
+    reference's Categorical sample via Gumbel-max, tsp/aco.py:165-177) and
+    the updated visited words.
+    """
+    r, w = words_ref.shape
+    if stochastic:
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
+    # interleaved packing: column c lives in word (c mod W) at bit (c div W),
+    # so the unpack gather is exactly pltpu.repeat's array tiling:
+    # wexp[:, c] = words[:, c mod W]
+    wexp = pltpu.repeat(words_ref[:], _WORD, axis=1)[:, :n]
+    open_ = (wexp >> (cols // w).astype(jnp.uint32)) & 1 == 0
+    logits = jnp.where(open_, rows_ref[:].astype(jnp.float32), NEG_INF)
+    if stochastic:
+        bits = pltpu.bitcast(pltpu.prng_random_bits((r, n)), jnp.int32)
+        u = ((bits & 0x7FFFFF).astype(jnp.float32) * (2.0 ** -23)
+             + 2.0 ** -24)
+        noisy = logits - jnp.log(-jnp.log(u))
+    else:
+        noisy = logits
+    amax = jnp.max(noisy, axis=1, keepdims=True)
+    # first-max tie-break = XLA argmax semantics
+    action = jnp.min(jnp.where(noisy == amax, cols, n), axis=1)     # [R]
+    action_ref[:] = action[:, None]
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
+    bit = jnp.left_shift(jnp.uint32(1), (action // w).astype(jnp.uint32))
+    new_words_ref[:] = jnp.where(w_iota == (action % w)[:, None],
+                                 words_ref[:] | bit[:, None], words_ref[:])
+
+
+def visited_words(n: int) -> int:
+    """Word count of the interleaved visited packing for ``n`` columns."""
+    return -(-n // _WORD)
+
+
+def pack_visited(words: jax.Array, actions: jax.Array, n: int) -> jax.Array:
+    """Set column ``actions[r]`` in the interleaved packing (XLA side)."""
+    w = words.shape[-1]
+    w_iota = jnp.arange(w, dtype=jnp.int32)
+    bit = jnp.left_shift(jnp.uint32(1), (actions // w).astype(jnp.uint32))
+    return jnp.where(w_iota == (actions % w)[..., None],
+                     words | bit[..., None], words)
+
+
+def fused_step_pallas(rows, words, seed, *, stochastic=True,
+                      tile: int = 512):
+    """Masked Gumbel-max pick + visited update over ``[R, N]`` candidates.
+
+    ``rows`` [R, N] bf16; ``words`` [R, W] uint32 packed visited bits;
+    ``seed`` int32 scalar (per-call; each grid program perturbs it by its
+    program id). Returns ``(action [R] int32, new_words [R, W])``.
+    """
+    r, n = rows.shape
+    w = words.shape[1]
+    pad = (-r) % tile
+    if pad:
+        rows = jnp.pad(rows, ((0, pad), (0, 0)))
+        words = jnp.pad(words, ((0, pad), (0, 0)))
+    rp = rows.shape[0]
+    grid = (rp // tile,)
+    action, new_words = pl.pallas_call(
+        functools.partial(_fused_step_kernel, stochastic, n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((rp, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((rp, w), jnp.uint32)),
+        interpret=jax.default_backend() == "cpu",
+    )(rows, words, jnp.reshape(seed, (1, 1)).astype(jnp.int32))
+    return action[:r, 0], new_words[:r]
+
+
 # ------------------------------------------------ construction sweep -------
 def _tsp_sweep_kernel(stochastic, score_ref, start_ref, seed_ref, paths_ref,
                       cur_ref, mask_ref):

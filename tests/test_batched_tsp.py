@@ -166,6 +166,49 @@ def test_dense_sweep_greedy_matches_engine_fp32():
                                       np.asarray(ref.paths))
 
 
+def test_fused_step_greedy_matches_dense_sweep():
+    """The Pallas fused-step sweep (bit-packed visited set, in-kernel pick)
+    must reproduce dense_sweep's greedy decode city-for-city — same argmax
+    over the same masked rows, first-max tie-break (interpret mode on CPU)."""
+    from deepaco_tpu.aco.batched_tsp import dense_sweep_fused
+
+    b, n, a = 3, 37, 5
+    coords, dist = _random_batch(jax.random.PRNGKey(30), b, n)
+    score = jnp.log(1.0 / dist).astype(jnp.bfloat16)
+    start = jnp.tile(jnp.arange(a)[None], (b, 1))
+    ref = dense_sweep(score, start, jax.random.PRNGKey(31), stochastic=False)
+    got = dense_sweep_fused(score, start, jax.random.PRNGKey(31),
+                            stochastic=False, tile=64)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_step_stochastic_permutations_and_quality():
+    """Stochastic fused sweep: every tour is a valid permutation and the
+    sampling law matches dense_sweep distributionally (greedy-biased score
+    -> mean tour cost within 5%). Needs the on-chip PRNG (real TPU only)."""
+    if jax.default_backend() != "tpu":
+        import pytest
+
+        pytest.skip("on-chip PRNG requires a real TPU")
+    from deepaco_tpu.aco.batched_tsp import dense_sweep_fused
+    from deepaco_tpu.aco.problems.tsp import tour_cost
+
+    b, n, a = 4, 48, 16
+    coords, dist = _random_batch(jax.random.PRNGKey(32), b, n)
+    score = (3.0 * jnp.log(1.0 / dist)).astype(jnp.bfloat16)
+    start = jnp.zeros((b, a), jnp.int32)
+    got = np.asarray(dense_sweep_fused(score, start, jax.random.PRNGKey(33),
+                                       tile=64))
+    for bb in range(b):
+        for aa in range(a):
+            assert len(set(got[bb, :, aa].tolist())) == n
+    ref = dense_sweep(score, start, jax.random.PRNGKey(34))
+    c_ref = np.mean(np.asarray(jax.vmap(tour_cost)(dist, ref)))
+    c_got = np.mean(np.asarray(jax.vmap(tour_cost)(
+        dist, jnp.asarray(got))))
+    np.testing.assert_allclose(c_got, c_ref, rtol=0.05)
+
+
 def test_dense_bf16_curve_matches_fp32_quality():
     """bf16 sampling (the bench default) agrees with fp32 distributionally
     and with the per-instance dense runner."""
