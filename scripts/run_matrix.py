@@ -112,7 +112,22 @@ def done_ids():
     return ids
 
 
+def _git_sha():
+    try:
+        return subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                              cwd=ROOT, capture_output=True,
+                              text=True).stdout.strip() or None
+    except Exception:
+        return None
+
+
+_SHA = _git_sha()
+
+
 def _append(rec):
+    # stamp every row with the engine revision it ran at, so stale cells are
+    # distinguishable from fresh ones (VERDICT r4 weak #6)
+    rec.setdefault("sha", _SHA)
     with open(OUT, "a") as f:
         f.write(json.dumps(rec) + "\n")
 
