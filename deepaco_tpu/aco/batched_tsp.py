@@ -19,6 +19,36 @@ set) replacing a vmap of per-instance scans:
     ``sample_dtype=jnp.float32`` for bit-exact greedy parity with the
     engine (pinned by tests).
 
+ROOFLINE (round-5 measurement campaign, TPU v5e, bench shape B=100, N=500,
+A=20, T=10 — all numbers idle-chip): the construction scan runs at
+~37.5 us/step and is bounded by per-row random access, not streaming
+bandwidth. Decomposition per step: ~5.7 us base (2 MB sequential read +
+scan glue), ~17.6 us row-gather premium (2000 rows from [B*N, N] bf16 at
+~8.8 ns/row — byte-count-insensitive: [2000, 64] int32 rows still cost
+~14 us), ~13.6 us pick work (mask/noise/argmax VPU passes over [2000, 512]).
+Alternatives measured and rejected:
+
+* per-step fused Pallas pick (:func:`dense_sweep_fused`, the default on
+  TPU): 186 vs 187 ms — the kernel fuses ~5 XLA passes but the gather
+  premium and VPU pass count are unchanged; kept for the 16x smaller scan
+  carry (bit-packed visited words) and on-chip PRNG;
+* one-hot MXU row fetch: +44 us/step (B=100 batched [20,500]x[500,500]
+  matmuls underutilize the MXU);
+* whole-iteration VMEM-resident kernel (score chunks in VMEM, per-ant
+  ``pl.ds`` dynamic-slice row loads at ~2-3 ns/load, grid-sequential
+  state): 39.3 us/step — chunk serialization (score > VMEM forces >= 9
+  chunks) plus a per-step VMEM->SMEM DMA for the action scalars eat the
+  gather saving; also bf16 refs reject unaligned dynamic sublane loads
+  (f32 required, halving the feasible chunk count);
+* 2-way software pipelining (half-batch gather overlapped with the other
+  half's pick): 42.4 us/step — no DMA/compute overlap materializes.
+
+The phase floor at this batch shape is therefore ~(5.7 + 14 + ~8) us/step
+=~ 140 ms for the T=10 sweep — the engine runs within ~1.3x of it. Scaling
+throughput further means more instances per sweep (the gather cost is
+row-count-bound and saturates: 1000-row and 2000-row gathers cost the
+same), not faster per-step kernels.
+
 * :func:`run_anytime_sparse` — an experiment retained with its measurements:
   sample over the ``[N, K]`` k-NN support only (valid whenever the heuristic
   is floored off-support, as both eval paths produce) with an exact dense

@@ -464,12 +464,25 @@ def _load_variables(args):
         from deepaco_tpu.models.gnn import Net
         from deepaco_tpu.train.reinforce import init_train_state
 
-        cfg = ProblemConfig(n_nodes=args.nodes,
-                            k_sparse=args.k_sparse or max(args.nodes // 10, 3),
-                            aco=ACOSettings(), train=TrainConfig())
-        template = init_train_state(Net(), cfg, jax.random.PRNGKey(0),
-                                    nls_graph=True)
-        state = load_checkpoint(args.ckpt, template)
+        # checkpoints trained with the reference's cosine LR schedule carry
+        # an extra schedule count in opt_state — try both template shapes
+        state = None
+        for cosine in (False, True):
+            cfg = ProblemConfig(
+                n_nodes=args.nodes,
+                k_sparse=args.k_sparse or max(args.nodes // 10, 3),
+                aco=ACOSettings(),
+                train=TrainConfig(cosine_schedule=cosine))
+            template = init_train_state(Net(), cfg, jax.random.PRNGKey(0),
+                                        nls_graph=True)
+            try:
+                state = load_checkpoint(args.ckpt, template)
+                break
+            except ValueError:
+                continue
+        if state is None:
+            raise SystemExit(f"cannot restore {args.ckpt}: opt_state "
+                             "does not match either optimizer template")
         return {"params": state.params, "batch_stats": state.batch_stats}
     family = get_family(args.problem)
     cfg = ProblemConfig(n_nodes=args.nodes,

@@ -366,7 +366,7 @@ def tour_deposit_pallas(paths: jax.Array, amounts: jax.Array, n: int,
     )(u, v, amounts.reshape(1, -1).astype(jnp.float32))
 
 
-def _fused_tsp_update_kernel(q, u_ref, v_ref, dist_ref, d_ref, costs_ref):
+def _fused_tsp_update_kernel(q, u_ref, dist_ref, d_ref, costs_ref):
     """Deposit + tour costs in one pass (see :func:`fused_tsp_update_pallas`).
 
     While ant ``a``'s one-hot edge matrix ``S`` is VMEM-resident, its tour
@@ -381,8 +381,13 @@ def _fused_tsp_update_kernel(q, u_ref, v_ref, dist_ref, d_ref, costs_ref):
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, l), 0)
 
     def ant(i, _):
-        ut = (rows == u_ref[pl.ds(i, 1), :]).astype(jnp.bfloat16)
-        vt = (rows == v_ref[pl.ds(i, 1), :]).astype(jnp.bfloat16)
+        u_row = u_ref[pl.ds(i, 1), :]                        # [1, L] int32
+        # v = roll(u, 1) for cyclic tours — rotate the int32 index row
+        # (hardware rotate is 32-bit only; rolling the bf16 one-hot is not
+        # lowerable) instead of reading a second [A, L] input
+        v_row = pltpu.roll(u_row, 1, axis=1)
+        ut = (rows == u_row).astype(jnp.bfloat16)
+        vt = (rows == v_row).astype(jnp.bfloat16)
         s = jax.lax.dot_general(ut, vt, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         cost = jnp.sum(s * dist_ref[:])
@@ -405,18 +410,16 @@ def fused_tsp_update_pallas(paths: jax.Array, dist: jax.Array,
     """
     n, a = paths.shape
     u = paths.T.astype(jnp.int32)
-    v = jnp.roll(u, shift=1, axis=1)
     d, costs = pl.pallas_call(
         functools.partial(_fused_tsp_update_kernel, float(q)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[jax.ShapeDtypeStruct((n, n), jnp.float32),
                    jax.ShapeDtypeStruct((1, a), jnp.float32)],
         interpret=jax.default_backend() == "cpu",
-    )(u, v, dist.astype(jnp.float32))
+    )(u, dist.astype(jnp.float32))
     return d, costs[0]
 
 
