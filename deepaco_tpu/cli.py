@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("-s", "--steps", type=int, default=128)
     tr.add_argument("-b", "--batch-size", type=int, default=1)
     tr.add_argument("--lr", type=float, default=3e-4)
+    tr.add_argument("--weight-decay", type=float, default=None,
+                    help="AdamW weight decay; default = the family's "
+                         "reference value (0 for mkp, mkp/train.py:78; "
+                         "torch's 1e-2 elsewhere)")
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("-o", "--output", default=None,
                     help="checkpoint path (.msgpack)")
@@ -110,10 +114,16 @@ def cmd_train(args) -> None:
     if args.problem == "rcpsp":
         return _cmd_train_rcpsp(args)
     k = args.k_sparse or max(args.nodes // 10, 3)
+    wd = args.weight_decay
+    if wd is None:
+        # the reference's only per-family optimizer quirk: the GNN MKP
+        # trainer sets weight_decay=0 (mkp/train.py:78); every other driver
+        # (incl. mkp_transformer/train.py:79) uses torch's AdamW default 1e-2
+        wd = 0.0 if args.problem == "mkp" else 1e-2
     cfg = ProblemConfig(
         name=args.problem, n_nodes=args.nodes, k_sparse=k,
         aco=ACOSettings(n_ants=args.ants),
-        train=TrainConfig(lr=args.lr, epochs=args.epochs,
+        train=TrainConfig(lr=args.lr, weight_decay=wd, epochs=args.epochs,
                           steps_per_epoch=args.steps,
                           batch_size=args.batch_size, seed=args.seed))
     t0 = time.time()

@@ -90,11 +90,13 @@ def cells():
                               "--local-search", "swapstar", "-t", *T10],
              tmo, True)
     # the 58th protocol cell (cvrp_nls/utils.py:89-100 writes a 2000-scale
-    # golden set; cvrp_nls/test.py:80-96 is the protocol). 20 instances: the
-    # full 100 would run ~5h of SWAP* wall — noted in RESULTS.md.
-    cell("cvrp_nls2000-limit20",
+    # golden set; cvrp_nls/test.py:80-96 is the protocol). Round-5: the full
+    # 100-instance set — the round-4 engine runs ~26 s/instance (20 in 523 s),
+    # so the full set is ~45 min, not the ~5 h that justified the old
+    # 20-instance cut.
+    cell("cvrp_nls2000",
          ["test", "cvrp", "-n", "2000", "--local-search", "swapstar",
-          "--limit", "20", "-t", *T10], 14400, True)
+          "-t", *T10], 14400, True)
     return out
 
 
