@@ -21,6 +21,19 @@ resident in VMEM per instance:
 Semantics match ``models.gnn.Net.apply(..., train=False)`` for the regular
 single-block case (reference tsp/net.py:8-102): verified elementwise in
 ``tests/test_fused_gnn.py`` (fp32 mode ~1e-5; bf16 mode distributional).
+
+ROOFLINE (round-5, TPU v5e, bench shape B=100, N=500, K=50): the whole-net
+bf16 kernel runs at ~47 ms (~470 us/instance). Floor decomposition of the
+one-hot-gather formulation: the [NP, NP] one-hot build compares alone are
+~62k VPU passes =~ 17 ms across the batch, the gather/e_lin MXU dots ~10 ms,
+k-NN extraction + head + elementwise ~15 ms — i.e. the kernel runs within
+~1.15x of its formulation's floor. Merging each slot group's G gather dots
+into one [2U, NP] x [NP, G*NP] pass (round 5) measured neutral — Mosaic
+already pipelines the narrow dots; the build compares, not the dots, are
+the binding cost, and they cannot be cached across layers (26 MB for the
+full one-hot set exceeds VMEM). The alternative XLA per-layer gather path
+measures 253 ms at the same shape, so ~5.4x stands as the achieved
+envelope for this formulation.
 """
 from __future__ import annotations
 
@@ -189,17 +202,23 @@ def _layer_stack(depth, k_const, g_const, node_update, cdt, prec,
         def group(jg, agg, n_sub):
             nbr_g = read_nbr(jg)                               # [G, NP]
             w0 = read_w(jg)                                    # [G*U, NP]
+            # ONE wide gather dot for the whole slot group: the G per-slot
+            # one-hots lie side by side on the lane axis, so a single
+            # [2U, NP] x [NP, n_sub*NP] MXU pass fetches every slot's x2/x4
+            # columns (round-5: merges G dependent small dots into one).
+            oh_wide = jnp.concatenate(
+                [(iota0 == nbr_g[s:s + 1, :]).astype(cdt)
+                 for s in range(n_sub)], axis=1)          # [NP, n_sub*NP]
+            both_wide = jax.lax.dot(
+                x24, oh_wide,
+                preferred_element_type=f32, precision=prec)  # [2U, n_sub*NP]
             parts = []
             for s in range(g_const):
                 if s >= n_sub:
                     # padded slots: keep state, skip gather entirely
                     parts.append(w0[s * u:(s + 1) * u])
                     continue
-                idx = nbr_g[s:s + 1, :]                        # [1, NP]
-                oh_t = (iota0 == idx).astype(cdt)              # [NP(c),NP(r)]
-                both = jax.lax.dot(
-                    x24, oh_t,
-                    preferred_element_type=f32, precision=prec)  # [2U, NP]
+                both = both_wide[:, s * np_:(s + 1) * np_]     # [2U, NP]
                 w0s = w0[s * u:(s + 1) * u]
                 agg = agg + jax.nn.sigmoid(w0s) * both[:u]
                 pre = jax.lax.dot(wel_i, w0s.astype(cdt),
