@@ -466,14 +466,35 @@ def _fused_step_kernel(stochastic, n, rows_ref, words_ref, seed_ref,
     # wexp[:, c] = words[:, c mod W]
     wexp = pltpu.repeat(words_ref[:], _WORD, axis=1)[:, :n]
     open_ = (wexp >> (cols // w).astype(jnp.uint32)) & 1 == 0
-    logits = jnp.where(open_, rows_ref[:].astype(jnp.float32), NEG_INF)
     if stochastic:
         bits = pltpu.bitcast(pltpu.prng_random_bits((r, n)), jnp.int32)
-        u = ((bits & 0x7FFFFF).astype(jnp.float32) * (2.0 ** -23)
-             + 2.0 ** -24)
-        noisy = logits - jnp.log(-jnp.log(u))
+        # bf16 GUMBEL PIPELINE, deliberately: the production sweep has
+        # always drawn its noise as jax.random.gumbel(dtype=bf16), whose
+        # intermediate roundings TRUNCATE the right tail (-log(-log u) with
+        # a bf16 uniform caps near +5.5 instead of f32's +15.9) — a slight
+        # exploration cut that is measurably ~1% BETTER at T=10 than the
+        # exact f32 Gumbel-max law (round-5 A/B at the bench shape: per-ant
+        # mean tour 21.47 bf16 vs 21.96 f32; an exact-f32 kernel variant
+        # reproduced the f32 number to 4 decimals). Mirror the rounding
+        # points: bf16 uniform -> bf16 -log -> bf16 -log, bf16 add, and
+        # only then upcast for the tie-break reductions (value-preserving;
+        # also dodges a Mosaic bf16-compare relayout bug).
+        bf = rows_ref.dtype
+        # jax's bf16 uniform has exactly 128 evenly spaced values (7
+        # mantissa bits of [1,2) minus one), floored at finfo(bf16).tiny:
+        # mirror that support, then the two bf16-rounded -log steps of
+        # jax.random.gumbel(dtype=bf16). The floor is the smallest NORMAL
+        # f32 (TPU flushes subnormals to zero, which would turn the k=0
+        # bucket into -log(0)=inf).
+        u = jnp.maximum(
+            ((bits >> 13) & 0x7F).astype(jnp.float32) * (2.0 ** -7),
+            jnp.float32(1.1754944e-38))
+        inner = (-jnp.log(u)).astype(bf)
+        g = (-jnp.log(inner.astype(jnp.float32))).astype(bf)
+        logits_bf = jnp.where(open_, rows_ref[:], jnp.asarray(NEG_INF, bf))
+        noisy = (logits_bf + g).astype(jnp.float32)
     else:
-        noisy = logits
+        noisy = jnp.where(open_, rows_ref[:].astype(jnp.float32), NEG_INF)
     amax = jnp.max(noisy, axis=1, keepdims=True)
     # first-max tie-break = XLA argmax semantics
     action = jnp.min(jnp.where(noisy == amax, cols, n), axis=1)     # [R]
