@@ -372,7 +372,10 @@ def extra_scaling_probes():
     from deepaco_tpu.utils.datasets import distance_matrix
 
     out = {}
-    n, k = 1024, 16
+    # the documented single-chip anchor shape (RESULTS "Scaling artifacts");
+    # many reps amortize the dev relay's per-sync latency, which otherwise
+    # dominates a ~0.3 ms forward
+    n, k = 2048, 32
     coords = jax.random.uniform(jax.random.PRNGKey(0), (n, 2))
     g = knn_graph(coords, distance_matrix(coords), k)
     model = EmbNet()
@@ -380,7 +383,7 @@ def extra_scaling_probes():
     mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("instance",))
     out["gnn_edges_per_sec"] = round(edges_per_second_bench(
         variables["params"], variables["batch_stats"],
-        g.x, g.nbr, g.edge, mesh), 1)
+        g.x, g.nbr, g.edge, mesh, reps=50), 1)
 
     def sub(script, args, keyname):
         try:
