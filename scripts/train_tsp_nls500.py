@@ -61,8 +61,9 @@ def main():
     state = init_train_state(model, cfg, rng, nls_graph=True)
     step_fn = make_tsp_train_step(model, cfg,
                                   local_search=nls_local_search())
-    out = f"checkpoints/tsp_nls{n}_selftrained.msgpack"
-    os.makedirs("checkpoints", exist_ok=True)
+    out_dir = os.environ.get("DEEPACO_CKPT_DIR", "checkpoints")
+    out = f"{out_dir}/tsp_nls{n}_selftrained.msgpack"
+    os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
     stats = validate({"params": state.params,
                       "batch_stats": state.batch_stats})
