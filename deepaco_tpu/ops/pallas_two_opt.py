@@ -627,9 +627,10 @@ def batched_two_opt_euclid(coords, tours, max_iterations: int):
     return out[:, 0, :n]
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def batched_nls_euclid(coords, heu_dist, tours, max_iterations: int,
-                       t_nls: int = 10, t_p: int = 20):
+                       t_nls: int = 10, t_p: int = 20,
+                       force_tiled: bool = False):
     """Neural-guided LS for Euclidean TSP (reference nls,
     tsp_nls/aco.py:241-258) fully in VMEM; ``tours`` is ``[A, n]``.
 
@@ -644,7 +645,11 @@ def batched_nls_euclid(coords, heu_dist, tours, max_iterations: int,
         return batched_nls(distance_matrix(coords), heu_dist, tours,
                            max_iterations, t_nls, t_p)
     a = tours.shape[0]
-    if _npad(n) > MAX_NPAD:            # 1024 < n <= 2048: tiled NLS kernel
+    # force_tiled: the training path wraps this under value_and_grad, where
+    # the whole-matrix kernel's scoped VMEM at npad=1024 overflows by ~2.5 MB
+    # (round-5 probe, results/train_tsp_nls1000.log); the tiled kernel has
+    # exact move parity and fits
+    if _npad(n) > MAX_NPAD or (force_tiled and _npad(n) >= MAX_NPAD):
         npad = max(_TILE_NLS, -(-n // _TILE_NLS) * _TILE_NLS)
         out = pl.pallas_call(
             functools.partial(_tiled_nls_kernel, n, npad, _TILE_NLS,

@@ -113,7 +113,8 @@ def nls_local_search(t_nls: int = 10, t_p: int = 20):
 
             if pallas_ls_supported(dist.shape[0]):
                 tours = batched_nls_euclid(coords, heuristic_dist(heu),
-                                           paths.T, maxt, t_nls, t_p)
+                                           paths.T, maxt, t_nls, t_p,
+                                           force_tiled=dist.shape[0] >= 1000)
                 return tour_cost(dist, tours.T)
         tours = batched_nls(dist, heuristic_dist(heu), paths.T, maxt,
                             t_nls, t_p)
